@@ -1,0 +1,38 @@
+"""Frozen bitstream constants for the SELA-family `sela_tpu` profile v1.
+
+Normative spec: /root/repo/FORMAT.md. The numpy oracle (sela_tpu.ref) is the
+executable form of that spec; every other implementation (jnp ops, Pallas
+kernels, native C++ bit I/O) must agree with it bit-exactly.
+
+Reference provenance: the sahaRatul/sela mount was empty at build time
+(SURVEY.md header); constants tagged *(sela-recalled)* in FORMAT.md follow
+SURVEY.md SS2's recollection of the public repo (upstream:src/file/sela_file.cpp,
+upstream:src/lpc/*, upstream:src/rice/* -- path-level cites, no line numbers
+available).
+"""
+
+MAGIC = b"SeLa"            # file magic, 4 ASCII bytes          (sela-recalled)
+SYNC = 0xAA55FF00          # per-frame sync word, u32 LE        (sela-recalled)
+
+FRAME_SIZE = 2048          # samples per channel per frame      (sela-recalled)
+MAX_ORDER = 32             # max LPC order
+REF_Q = 20                 # Q-format of reflection + LPC coefficients
+REF_ONE = 1 << REF_Q       # 1.0 in Q20
+
+Q_CLAMP_LO = -64           # quantized reflection coefficient range
+Q_CLAMP_HI = 63
+
+RICE_K_MAX = 30            # optimal-k search range [0, RICE_K_MAX]
+RICE_K_ESCAPE = 31         # verbatim 32-bit escape code
+
+COEFF_BIT_COST = 7         # approx bits/coefficient used by order selection
+
+# Subframe types
+SF_DIRECT = 0
+SF_MID = 1
+SF_SIDE = 2
+
+# Residue overflow guard: encoder falls back to order 0 if any |e| >= 2**30
+RESIDUE_LIMIT = 1 << 30
+
+MAX_FRAME_SAMPLES = FRAME_SIZE  # u16 field; invariant numSamples <= 2048

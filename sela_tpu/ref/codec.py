@@ -1,0 +1,48 @@
+"""File-level encode/decode — numpy oracle (executable spec, FORMAT.md).
+
+Capability parity target: upstream:src/encoder.cpp, decoder.cpp
+(sela::Encoder/Decoder; sahaRatul/sela, path-level cite — mount empty,
+SURVEY.md SS2). The reference fans frames out over std::thread; the oracle is
+deliberately sequential and scalar-clear — throughput comes from the JAX
+pipeline in sela_tpu.codec, which must match this output bit-exactly on the
+decode side (round-trip exact; see FORMAT.md "Design invariant").
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..format import FRAME_SIZE
+from . import container, frame
+from .wav import WavData
+
+
+def encode_wav(w: WavData, frame_size: int = FRAME_SIZE) -> bytes:
+    n = w.n_samples
+    if n == 0:
+        raise ValueError("empty audio")
+    frames = []
+    for start in range(0, n, frame_size):
+        stop = min(start + frame_size, n)
+        chans = [c[start:stop] for c in w.channels]
+        subframes = frame.encode_frame(chans)
+        frames.append(container.serialize_frame(subframes, stop - start))
+    header = container.SelaHeader(
+        w.sample_rate, w.bits_per_sample, w.n_channels, len(frames)
+    )
+    return container.serialize_file(header, frames)
+
+
+def decode_sela(buf: bytes) -> WavData:
+    header = container.parse_header(buf)
+    pos = container.HEADER_SIZE
+    chunks: list[list[np.ndarray]] = []
+    for _ in range(header.num_frames):
+        subframes, n_samples, pos = container.parse_frame(buf, pos, header.channels)
+        chunks.append(frame.decode_frame(subframes, header.channels))
+    if pos != len(buf):
+        raise container.ContainerError("trailing bytes after last frame")
+    channels = [
+        np.concatenate([c[ch] for c in chunks]) if chunks else np.zeros(0, np.int32)
+        for ch in range(header.channels)
+    ]
+    return WavData(header.sample_rate, header.bits_per_sample, channels)

@@ -1,0 +1,106 @@
+"""Per-frame codec: channel decorrelation + subframe assembly — numpy oracle.
+
+Capability parity target: upstream:src/frame/frame_encoder.cpp,
+frame_decoder.cpp (sahaRatul/sela, path-level cite — mount empty, SURVEY.md SS2).
+
+Stereo pairs (2i, 2i+1) may be coded direct (L, R) or mid/side per frame;
+the encoder picks whichever yields fewer exact Rice bits. Mid/side math is
+normative per FORMAT.md:
+    mid = (L + R) >> 1,  side = L - R
+    L = mid + ((side + (side & 1)) >> 1),  R = L - side
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..format import SF_DIRECT, SF_MID, SF_SIDE
+from . import lpc, rice
+
+
+@dataclass
+class SubFrame:
+    channel: int
+    sftype: int          # SF_DIRECT / SF_MID / SF_SIDE
+    order: int
+    k_coeff: int
+    coeff_words: np.ndarray  # uint32
+    k_res: int
+    res_words: np.ndarray    # uint32
+    n_samples: int
+
+
+def mid_side(left: np.ndarray, right: np.ndarray):
+    l64 = left.astype(np.int64)
+    r64 = right.astype(np.int64)
+    mid = ((l64 + r64) >> 1).astype(np.int32)
+    side = (l64 - r64).astype(np.int32)
+    return mid, side
+
+
+def inverse_mid_side(mid: np.ndarray, side: np.ndarray):
+    m64 = mid.astype(np.int64)
+    s64 = side.astype(np.int64)
+    left = m64 + ((s64 + (s64 & 1)) >> 1)
+    right = left - s64
+    return left.astype(np.int32), right.astype(np.int32)
+
+
+def _encode_signal(x: np.ndarray):
+    """Full per-signal path: analyze -> render -> rice. Returns (subframe
+    fields minus channel/type, exact total payload bits)."""
+    order, q = lpc.analyze_channel(x)
+    order, q, e = lpc.render_channel(x, order, q)
+    k_c, cw = rice.encode(q)
+    k_r, rw = rice.encode(e)
+    bits = 32 * (len(cw) + len(rw))
+    return order, q, k_c, cw, k_r, rw, bits
+
+
+def encode_frame(channels: list[np.ndarray]) -> list[SubFrame]:
+    nch = len(channels)
+    n = len(channels[0]) if nch else 0
+    subframes: list[SubFrame] = []
+    ch = 0
+    while ch < nch:
+        if ch + 1 < nch:
+            left, right = channels[ch], channels[ch + 1]
+            mid, side = mid_side(left, right)
+            enc_l = _encode_signal(left)
+            enc_r = _encode_signal(right)
+            enc_m = _encode_signal(mid)
+            enc_s = _encode_signal(side)
+            if enc_m[-1] + enc_s[-1] < enc_l[-1] + enc_r[-1]:
+                picks = [(SF_MID, enc_m), (SF_SIDE, enc_s)]
+            else:
+                picks = [(SF_DIRECT, enc_l), (SF_DIRECT, enc_r)]
+            for off, (t, enc) in enumerate(picks):
+                order, q, k_c, cw, k_r, rw, _ = enc
+                subframes.append(SubFrame(ch + off, t, order, k_c, cw, k_r, rw, n))
+            ch += 2
+        else:
+            order, q, k_c, cw, k_r, rw, _ = _encode_signal(channels[ch])
+            subframes.append(SubFrame(ch, SF_DIRECT, order, k_c, cw, k_r, rw, n))
+            ch += 1
+    return subframes
+
+
+def decode_frame(subframes: list[SubFrame], nch: int) -> list[np.ndarray]:
+    raw: list[np.ndarray] = [None] * nch  # type: ignore[list-item]
+    types = [None] * nch
+    for sf in subframes:
+        q = rice.decode(sf.coeff_words, sf.order, sf.k_coeff)
+        e = rice.decode(sf.res_words, sf.n_samples, sf.k_res)
+        raw[sf.channel] = lpc.reconstruct_channel(e, sf.order, q)
+        types[sf.channel] = sf.sftype
+    out: list[np.ndarray] = [None] * nch  # type: ignore[list-item]
+    ch = 0
+    while ch < nch:
+        if ch + 1 < nch and types[ch] == SF_MID and types[ch + 1] == SF_SIDE:
+            out[ch], out[ch + 1] = inverse_mid_side(raw[ch], raw[ch + 1])
+            ch += 2
+        else:
+            out[ch] = raw[ch]
+            ch += 1
+    return out

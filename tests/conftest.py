@@ -1,0 +1,49 @@
+"""Test config: run the whole suite on CPU with 8 virtual devices so the
+multi-chip sharding path is exercised without TPU hardware (SURVEY.md SS4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_signal(rng, n, amp=20000, kind="ar"):
+    """Synthetic test signals: AR process (LPC-friendly), noise, tones."""
+    if kind == "ar":
+        e = rng.normal(0, amp / 50, n)
+        x = np.zeros(n)
+        a1, a2 = 1.6, -0.7
+        for i in range(n):
+            x[i] = e[i] + a1 * (x[i - 1] if i > 0 else 0) + a2 * (x[i - 2] if i > 1 else 0)
+        x = np.clip(x, -amp, amp)
+    elif kind == "noise":
+        x = rng.integers(-amp, amp, n)
+    elif kind == "tone":
+        t = np.arange(n)
+        x = amp * 0.8 * np.sin(2 * np.pi * 440 * t / 44100)
+    elif kind == "silence":
+        x = np.zeros(n)
+    elif kind == "impulse":
+        x = np.zeros(n)
+        x[n // 2] = amp
+    elif kind == "dc":
+        x = np.full(n, amp // 2)
+    else:
+        raise ValueError(kind)
+    return np.asarray(np.round(x), dtype=np.int32)
+
+
+@pytest.fixture
+def signal_factory():
+    return make_signal
