@@ -1,0 +1,127 @@
+"""Jit'd device pipeline: batched frame encode/decode steps.
+
+TPU-native restructuring of upstream:src/frame/frame_encoder.cpp +
+frame_decoder.cpp (sahaRatul/sela, path-level cite — mount empty, SURVEY.md
+SS2): instead of one frame per CPU thread, ALL frames and channel candidates
+are dense [F, C, S] int32 arrays; decorrelation candidates (L, R, mid, side)
+are analyzed and costed in one fused batch, the cheaper pairing is selected
+per frame with vectorized masks, and everything jits into a single XLA
+program per (F, C, S) shape.
+
+Shapes: F frames per chunk, C channels, S samples/frame (FRAME_SIZE padded),
+B = F * C2 candidate rows with C2 = C + 2*(C//2).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..format import MAX_ORDER, SF_DIRECT, SF_MID, SF_SIDE
+from ..ops import analysis, coeffs, filters, rice
+
+
+def _mid_side(left: jax.Array, right: jax.Array):
+    # mid = (L + R) >> 1 exactly, without int32 overflow, via the identity
+    # (a + b) >> 1 == (a >> 1) + (b >> 1) + (a & b & 1) for arithmetic shifts
+    mid = (left >> 1) + (right >> 1) + (left & right & 1)
+    side = left - right  # |L-R| < 2^(bps+1) <= 2^26, no overflow
+    return mid, side
+
+
+def _inverse_mid_side(mid: jax.Array, side: jax.Array):
+    left = mid + ((side + (side & 1)) >> 1)
+    right = left - side
+    return left, right
+
+
+def make_candidates(x: jax.Array):
+    """[F, C, S] -> [F, C2, S] with mid/side rows appended per pair."""
+    F, C, S = x.shape
+    extras = []
+    for p in range(C // 2):
+        m, s = _mid_side(x[:, 2 * p], x[:, 2 * p + 1])
+        extras += [m[:, None], s[:, None]]
+    if extras:
+        return jnp.concatenate([x] + extras, axis=1)
+    return x
+
+
+@jax.jit
+def encode_step(x: jax.Array, n_valid: jax.Array):
+    """Full encode analysis+render for one chunk.
+
+    x: [F, C, S] int32 zero-padded, n_valid: [F] int32.
+    Returns dict of per-(frame, channel) planning arrays + residues, where the
+    mid/side decision has already been applied:
+      residues [F, C, S], order [F, C], qcoeffs [F, C, MAX_ORDER],
+      k_res/k_coeff [F, C], sftype [F, C], nw_res/nw_coeff [F, C].
+    """
+    F, C, S = x.shape
+    cand = make_candidates(x)  # [F, C2, S]
+    C2 = cand.shape[1]
+    B = F * C2
+    xb = cand.reshape(B, S)
+    nv = jnp.repeat(n_valid, C2).astype(jnp.int32)
+
+    order, q = analysis.analyze(xb, nv)
+    g = coeffs.dequantize_reflection(q)
+    c = coeffs.reflection_to_lpc(g, order)
+    e, eff_order = filters.fir_residues(xb, c, order, nv)
+    cols = jnp.arange(MAX_ORDER)[None, :]
+    q_eff = jnp.where(cols < eff_order[:, None], q, 0)
+
+    k_res, bits_res, nw_res = rice.plan_blocks(e, nv)
+    k_coeff, bits_coeff, nw_coeff = rice.plan_blocks(q_eff, eff_order)
+    block_bits = 32 * (nw_res + nw_coeff)  # oracle decision metric
+
+    def g2(a):
+        return a.reshape(F, C2, *a.shape[1:])
+
+    e, eff_order, q_eff = g2(e), g2(eff_order), g2(q_eff)
+    k_res, k_coeff = g2(k_res), g2(k_coeff)
+    nw_res, nw_coeff = g2(nw_res), g2(nw_coeff)
+    bb = g2(block_bits)
+
+    # mid/side decision per pair: candidate rows C + 2p (mid), C + 2p + 1 (side)
+    sftype = jnp.zeros((F, C), jnp.int32)
+    sel = jnp.arange(C)[None, :].repeat(F, 0)  # candidate index per output ch
+    for p in range(C // 2):
+        li, ri = 2 * p, 2 * p + 1
+        mi, si = C + 2 * p, C + 2 * p + 1
+        use_ms = (bb[:, mi] + bb[:, si]) < (bb[:, li] + bb[:, ri])
+        sel = sel.at[:, li].set(jnp.where(use_ms, mi, li))
+        sel = sel.at[:, ri].set(jnp.where(use_ms, si, ri))
+        sftype = sftype.at[:, li].set(jnp.where(use_ms, SF_MID, SF_DIRECT))
+        sftype = sftype.at[:, ri].set(jnp.where(use_ms, SF_SIDE, SF_DIRECT))
+
+    take = lambda a: jnp.take_along_axis(
+        a, sel.reshape(F, C, *([1] * (a.ndim - 2))), axis=1
+    )
+    return dict(
+        residues=take(e),
+        order=take(eff_order),
+        qcoeffs=take(q_eff),
+        k_res=take(k_res),
+        k_coeff=take(k_coeff),
+        nw_res=take(nw_res),
+        nw_coeff=take(nw_coeff),
+        sftype=sftype,
+    )
+
+
+@jax.jit
+def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
+                sftype: jax.Array):
+    """Inverse: residues [F, C, S] + plan -> PCM [F, C, S] int32."""
+    F, C, S = residues.shape
+    B = F * C
+    g = coeffs.dequantize_reflection(qcoeffs.reshape(B, -1))
+    c = coeffs.reflection_to_lpc(g, order.reshape(B))
+    x = filters.iir_synthesize(residues.reshape(B, S), c).reshape(F, C, S)
+    for p in range(C // 2):
+        li, ri = 2 * p, 2 * p + 1
+        is_ms = (sftype[:, li] == SF_MID)[:, None]
+        left, right = _inverse_mid_side(x[:, li], x[:, ri])
+        x = x.at[:, li].set(jnp.where(is_ms, left, x[:, li]))
+        x = x.at[:, ri].set(jnp.where(is_ms, right, x[:, ri]))
+    return x

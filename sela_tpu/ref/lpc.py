@@ -111,19 +111,22 @@ def _rshift_round(v: np.ndarray | int, s: int):
 def reflection_to_lpc(g_q20: np.ndarray) -> np.ndarray:
     """Integer Levinson recursion: Q20 reflection -> Q20 direct-form coeffs.
 
-    int64 arithmetic, saturated to int32 at the end. NORMATIVE.
+    int64 arithmetic, saturated to int32 after EVERY step (bounds all
+    products to 2^52 — no int64 overflow possible). NORMATIVE.
     """
     g = np.asarray(g_q20, dtype=np.int64)
     p = len(g)
-    a = np.zeros(0, dtype=np.int64)
+    a = np.zeros(0, dtype=np.int64)  # values always within int32 range
     for m in range(1, p + 1):
         k = g[m - 1]
         new_a = np.empty(m, dtype=np.int64)
         if m > 1:
-            new_a[: m - 1] = a - _rshift_round(k * a[::-1], REF_Q)
+            new_a[: m - 1] = np.clip(
+                a - _rshift_round(k * a[::-1], REF_Q), I32_MIN, I32_MAX
+            )
         new_a[m - 1] = k
         a = new_a
-    return np.clip(a, I32_MIN, I32_MAX).astype(np.int32)
+    return a.astype(np.int32)
 
 
 def fir_residues(x: np.ndarray, coeffs: np.ndarray) -> np.ndarray:

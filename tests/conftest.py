@@ -1,13 +1,31 @@
 """Test config: run the whole suite on CPU with 8 virtual devices so the
-multi-chip sharding path is exercised without TPU hardware (SURVEY.md SS4)."""
+multi-chip sharding path is exercised without TPU hardware (SURVEY.md SS4).
+
+ENVIRONMENT QUIRK (load-bearing): this sandbox injects an `axon` TPU PJRT
+plugin into every Python process via PYTHONPATH=/root/.axon_site
+sitecustomize (which also imports jax at interpreter startup), and sets
+JAX_PLATFORMS=axon. With the plugin registered, even CPU-backend jax
+computations hang flakily (observed: np.asarray(jax_array) blocking forever
+in jax.Array._value on an idle machine; 100% reliable with the plugin
+removed). jax is already imported by the time pytest loads this file, but no
+backend has been initialized yet — so we unregister the axon backend factory
+and force the CPU platform before any computation runs.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+from jax._src import xla_bridge  # noqa: E402
+
+xla_bridge._backend_factories.pop("axon", None)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
