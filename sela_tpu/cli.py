@@ -184,6 +184,10 @@ def build_parser() -> argparse.ArgumentParser:
             "--engine", choices=["jax", "ref"], default="jax",
             help="jax = TPU pipeline (default), ref = numpy oracle",
         )
+        sp.add_argument(
+            "--cpu", action="store_true",
+            help="force the JAX CPU backend (unregisters TPU plugins)",
+        )
         return sp
 
     enc = add("encode", cmd_encode, help="WAV -> .sela")
@@ -211,7 +215,20 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] in alias:
         argv[0] = alias[argv[0]]
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    if getattr(args, "cpu", False):
+        from .utils.platform import force_cpu
+
+        force_cpu()
+    from .ref.container import ContainerError
+    from .ref.wav import WavError
+
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"selax: file not found: {e.filename}", file=sys.stderr)
+    except (ContainerError, WavError, ValueError) as e:
+        print(f"selax: {e}", file=sys.stderr)
+    return 2
 
 
 if __name__ == "__main__":

@@ -1,0 +1,21 @@
+"""Platform selection helpers for the quirky sandbox environment.
+
+The build/test sandbox injects an `axon` TPU PJRT plugin into every process
+(sitecustomize) and defaults JAX_PLATFORMS=axon. For host-side CPU runs the
+registered-but-unused plugin can destabilize jax (see tests/conftest.py);
+force_cpu() removes it before any backend initializes.
+"""
+from __future__ import annotations
+
+
+def force_cpu() -> None:
+    """Use the CPU backend, unregistering the axon plugin if present.
+
+    Must be called before the first jax computation/backend init.
+    """
+    from jax._src import xla_bridge
+
+    xla_bridge._backend_factories.pop("axon", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
