@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line (see sela_tpu/bench.py)."""
+import os
+import sys
+
+if __name__ == "__main__":
+    seconds = float(os.environ.get("SELA_BENCH_SECONDS", "60"))
+    chunk = int(os.environ.get("SELA_BENCH_CHUNK_FRAMES", "1024"))
+    iters = int(os.environ.get("SELA_BENCH_ITERS", "5"))
+    from sela_tpu.bench import run_bench
+
+    run_bench(seconds=seconds, chunk_frames=chunk, iters=iters)
+    sys.exit(0)

@@ -8,6 +8,19 @@ force_cpu() removes it before any backend initializes.
 from __future__ import annotations
 
 
+def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Persistent XLA compilation cache.
+
+    The sandbox TPU compiles via a remote tunnel that can take tens of
+    seconds per executable; caching compiled binaries on disk makes repeat
+    runs (bench reruns, driver checks) start fast.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def force_cpu() -> None:
     """Use the CPU backend, unregistering the axon plugin if present.
 
