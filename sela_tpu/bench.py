@@ -84,9 +84,11 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
         return (dep.astype(jnp.int32), e["residues"], e["qcoeffs"],
                 e["order"], e["sftype"])
 
+    iir = "pallas" if jax.default_backend() == "tpu" else "scan"
+
     @jax.jit
     def dec_probe(res, q, o, t):
-        return decode_step.__wrapped__(res, q, o, t).sum().astype(jnp.int32)
+        return decode_step.__wrapped__(res, q, o, t, iir=iir).sum().astype(jnp.int32)
 
     xs = [jax.device_put(x[i : i + chunk_frames]) for i in range(0, F, chunk_frames)]
     nvs = [jax.device_put(n_valid[i : i + chunk_frames]) for i in range(0, F, chunk_frames)]
@@ -100,17 +102,22 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
     int(np.asarray(dec_probe(res, q, o, t)))
     print(f"[bench] decode compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    # async-dispatch all chunks of a pass, then one forced 4-byte D2H sync on
+    # a scalar depending on every output (per-call sync costs ~30 ms through
+    # the tunnel and would otherwise dominate)
     t0 = time.perf_counter()
     for _ in range(iters):
+        deps = []
         for xc, nc in zip(xs, nvs):
             dep, res, q, o, t = enc_probe(xc, nc)
-            int(np.asarray(dep))  # forced 4-byte D2H dependency
+            deps.append(dep)
+        int(np.asarray(jnp.stack(deps).sum()))
     t_enc = (time.perf_counter() - t0) / iters
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        for _ in xs:
-            int(np.asarray(dec_probe(res, q, o, t)))
+        deps = [dec_probe(res, q, o, t) for _ in xs]
+        int(np.asarray(jnp.stack(deps).sum()))
     t_dec = (time.perf_counter() - t0) / iters
 
     total_pcm = pcm_bytes_per_chunk * len(xs)

@@ -64,7 +64,13 @@ def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES) -> WavData
             orders[fi, ch] = order
             sftype[fi, ch] = t
 
-        x = np.asarray(decode_step(residues, qcoeffs, orders, sftype))
+        import jax
+
+        if jax.default_backend() == "tpu":
+            iir = "pallas" if header.bits_per_sample <= 24 else "pallas_generic"
+        else:
+            iir = "scan"  # pallas interpret mode is slower than the scan on CPU
+        x = np.asarray(decode_step(residues, qcoeffs, orders, sftype, iir=iir))
         for f in range(fcount):
             for c in range(C):
                 chans_out[c].append(x[f, c, : n_valid[start + f]])

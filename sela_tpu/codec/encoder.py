@@ -56,7 +56,11 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
         nv = np.zeros(chunk_frames, dtype=np.int32)
         xc[:fcount] = x[start:stop]
         nv[:fcount] = n_valid[start:stop]
-        out = {k: np.asarray(v) for k, v in encode_step(xc, nv).items()}
+        allow_ms = w.bits_per_sample <= 24  # FORMAT.md: 32-bit PCM is LR-only
+        out = {
+            k: np.asarray(v)
+            for k, v in encode_step(xc, nv, allow_ms=allow_ms).items()
+        }
         frames.extend(_pack_chunk(out, nv, fcount))
     header = container.SelaHeader(w.sample_rate, w.bits_per_sample, C, F)
     return container.serialize_file(header, frames)

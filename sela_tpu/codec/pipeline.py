@@ -13,10 +13,13 @@ B = F * C2 candidate rows with C2 = C + 2*(C//2).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from ..format import MAX_ORDER, SF_DIRECT, SF_MID, SF_SIDE
+from ..kernels.iir import iir_synthesize_pallas
 from ..ops import analysis, coeffs, filters, rice
 
 
@@ -46,18 +49,19 @@ def make_candidates(x: jax.Array):
     return x
 
 
-@jax.jit
-def encode_step(x: jax.Array, n_valid: jax.Array):
+@partial(jax.jit, static_argnames=("allow_ms",))
+def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True):
     """Full encode analysis+render for one chunk.
 
-    x: [F, C, S] int32 zero-padded, n_valid: [F] int32.
+    x: [F, C, S] int32 zero-padded, n_valid: [F] int32. allow_ms=False
+    disables mid/side candidates (required for 32-bit PCM — FORMAT.md).
     Returns dict of per-(frame, channel) planning arrays + residues, where the
     mid/side decision has already been applied:
       residues [F, C, S], order [F, C], qcoeffs [F, C, MAX_ORDER],
       k_res/k_coeff [F, C], sftype [F, C], nw_res/nw_coeff [F, C].
     """
     F, C, S = x.shape
-    cand = make_candidates(x)  # [F, C2, S]
+    cand = make_candidates(x) if allow_ms else x  # [F, C2, S]
     C2 = cand.shape[1]
     B = F * C2
     xb = cand.reshape(B, S)
@@ -85,7 +89,8 @@ def encode_step(x: jax.Array, n_valid: jax.Array):
     # mid/side decision per pair: candidate rows C + 2p (mid), C + 2p + 1 (side)
     sftype = jnp.zeros((F, C), jnp.int32)
     sel = jnp.arange(C)[None, :].repeat(F, 0)  # candidate index per output ch
-    for p in range(C // 2):
+    n_pairs = C // 2 if C2 > C else 0
+    for p in range(n_pairs):
         li, ri = 2 * p, 2 * p + 1
         mi, si = C + 2 * p, C + 2 * p + 1
         use_ms = (bb[:, mi] + bb[:, si]) < (bb[:, li] + bb[:, ri])
@@ -109,15 +114,27 @@ def encode_step(x: jax.Array, n_valid: jax.Array):
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("iir",))
 def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
-                sftype: jax.Array):
-    """Inverse: residues [F, C, S] + plan -> PCM [F, C, S] int32."""
+                sftype: jax.Array, iir: str = "scan"):
+    """Inverse: residues [F, C, S] + plan -> PCM [F, C, S] int32.
+
+    iir: "scan" (lax.scan, any input), "pallas" (fast limb kernel, exact for
+    PCM <= 24-bit), "pallas_generic" (hi/lo kernel, any input). All three are
+    bit-identical on valid streams within their domain.
+    """
     F, C, S = residues.shape
     B = F * C
     g = coeffs.dequantize_reflection(qcoeffs.reshape(B, -1))
     c = coeffs.reflection_to_lpc(g, order.reshape(B))
-    x = filters.iir_synthesize(residues.reshape(B, S), c).reshape(F, C, S)
+    e2 = residues.reshape(B, S)
+    if iir == "pallas":
+        x = iir_synthesize_pallas(e2, c, fast=True)
+    elif iir == "pallas_generic":
+        x = iir_synthesize_pallas(e2, c, fast=False)
+    else:
+        x = filters.iir_synthesize(e2, c)
+    x = x.reshape(F, C, S)
     for p in range(C // 2):
         li, ri = 2 * p, 2 * p + 1
         is_ms = (sftype[:, li] == SF_MID)[:, None]

@@ -1,0 +1,124 @@
+"""ctypes bindings for the native Rice bitstream library (bitio.cpp).
+
+Build with `make -C sela_tpu/native` (g++ only; no pybind11 — the image has
+none). sela_tpu.utils.bitpack auto-falls back to the numpy oracle coder when
+the .so is absent; outputs are bit-identical either way (tests/test_native.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_DIR, "libselabitio.so")
+if not os.path.exists(_LIB_PATH) and os.path.exists(os.path.join(_DIR, "bitio.cpp")):
+    # best-effort one-shot build (the .so is not checked in)
+    import subprocess
+
+    subprocess.run(
+        ["make", "-C", _DIR, "-s"], capture_output=True, timeout=120, check=False
+    )
+_lib = None
+if os.path.exists(_LIB_PATH):
+    try:
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        _lib.rice_block_words.argtypes = [
+            _i32p, _i64p, _i32p, _i32p, ctypes.c_int64, _i64p,
+        ]
+        _lib.rice_pack_blocks.argtypes = [
+            _i32p, _i64p, _i32p, _i32p, _i64p, ctypes.c_int64, _u32p,
+        ]
+        _lib.rice_unpack_blocks.argtypes = [
+            _u32p, _i64p, _i32p, _i64p, _i32p, _i32p, ctypes.c_int64, _i32p,
+        ]
+    except OSError:  # pragma: no cover
+        _lib = None
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def pack_blocks_flat(values: np.ndarray, offs: np.ndarray, counts: np.ndarray,
+                     ks: np.ndarray):
+    """Flat-array fast path.
+
+    values: concatenated int32; block i = values[offs[i] : offs[i]+counts[i]]
+    with Rice parameter ks[i]. Returns (words concat uint32, word_counts).
+    """
+    n = len(counts)
+    values = np.ascontiguousarray(values, dtype=np.int32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    ks = np.ascontiguousarray(ks, dtype=np.int32)
+    word_counts = np.zeros(n, dtype=np.int64)
+    _lib.rice_block_words(values, offs, counts, ks, n, word_counts)
+    word_offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(word_counts[:-1], out=word_offs[1:])
+    out = np.zeros(int(word_counts.sum()), dtype=np.uint32)
+    _lib.rice_pack_blocks(values, offs, counts, ks, word_offs, n, out)
+    return out, word_counts
+
+
+def unpack_blocks_flat(words: np.ndarray, word_offs: np.ndarray,
+                       word_counts: np.ndarray, counts: np.ndarray,
+                       ks: np.ndarray) -> np.ndarray:
+    """Returns concatenated int32 values (block i has counts[i] values)."""
+    n = len(counts)
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    word_offs = np.ascontiguousarray(word_offs, dtype=np.int64)
+    word_counts = np.ascontiguousarray(word_counts, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    ks = np.ascontiguousarray(ks, dtype=np.int32)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1].astype(np.int64), out=offs[1:])
+    out = np.zeros(int(counts.astype(np.int64).sum()), dtype=np.int32)
+    _lib.rice_unpack_blocks(words, word_offs, word_counts, offs, counts, ks, n, out)
+    return out
+
+
+def pack_blocks(blocks: list[tuple[np.ndarray, int]]) -> list[np.ndarray]:
+    """List API used by utils.bitpack (mirrors the numpy oracle signature)."""
+    if not blocks:
+        return []
+    counts = np.array([len(v) for v, _ in blocks], dtype=np.int32)
+    ks = np.array([k for _, k in blocks], dtype=np.int32)
+    offs = np.zeros(len(blocks), dtype=np.int64)
+    np.cumsum(counts[:-1].astype(np.int64), out=offs[1:])
+    values = (
+        np.concatenate([np.asarray(v, dtype=np.int32) for v, _ in blocks])
+        if counts.sum() else np.zeros(0, np.int32)
+    )
+    words, word_counts = pack_blocks_flat(values, offs, counts, ks)
+    out = []
+    pos = 0
+    for wc in word_counts:
+        out.append(words[pos : pos + wc].copy())
+        pos += wc
+    return out
+
+
+def unpack_blocks(blocks: list[tuple[np.ndarray, int, int]]) -> list[np.ndarray]:
+    if not blocks:
+        return []
+    word_counts = np.array([len(w) for w, _, _ in blocks], dtype=np.int32)
+    counts = np.array([c for _, c, _ in blocks], dtype=np.int32)
+    ks = np.array([k for _, _, k in blocks], dtype=np.int32)
+    word_offs = np.zeros(len(blocks), dtype=np.int64)
+    np.cumsum(word_counts[:-1].astype(np.int64), out=word_offs[1:])
+    words = (
+        np.concatenate([np.asarray(w, dtype=np.uint32) for w, _, _ in blocks])
+        if word_counts.sum() else np.zeros(0, np.uint32)
+    )
+    flat = unpack_blocks_flat(words, word_offs, word_counts, counts, ks)
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(flat[pos : pos + c].copy())
+        pos += c
+    return out

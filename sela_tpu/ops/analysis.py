@@ -20,59 +20,55 @@ from ..format import COEFF_BIT_COST, MAX_ORDER, Q_CLAMP_HI, Q_CLAMP_LO
 def autocorr(x: jax.Array, max_lag: int = MAX_ORDER) -> jax.Array:
     """[B, N] int32 (zero-padded rows) -> [B, max_lag+1] float32.
 
-    Normalizing by r[0] downstream makes the scale irrelevant; computing in
-    float32 over pre-scaled samples keeps accumulation error small enough for
-    the 7-bit coefficient quantizer.
+    Computed via rFFT (Wiener-Khinchin): one length-2N transform per row
+    instead of 33 shifted elementwise reductions (measured 30 ms -> ~4 ms per
+    4096x2048 chunk). Normalizing by r[0] downstream makes the scale
+    irrelevant; f32 FFT noise (~1e-6 relative) is far below the 7-bit
+    coefficient quantizer's cell size. Analysis is non-normative (FORMAT.md).
     """
-    xf = x.astype(jnp.float32) * (1.0 / 32768.0)  # scale-free; avoids f32 range loss
+    xf = x.astype(jnp.float32) * (1.0 / 32768.0)
     n = x.shape[-1]
-    cols = []
-    for lag in range(max_lag + 1):
-        if lag == 0:
-            cols.append(jnp.sum(xf * xf, axis=-1))
-        else:
-            cols.append(jnp.sum(xf[..., : n - lag] * xf[..., lag:], axis=-1))
-    return jnp.stack(cols, axis=-1)
+    fft_n = 1
+    while fft_n < n + max_lag + 1:
+        fft_n *= 2
+    X = jnp.fft.rfft(xf, fft_n)
+    r_full = jnp.fft.irfft(X * jnp.conj(X), fft_n)
+    return r_full[..., : max_lag + 1].astype(jnp.float32)
 
 
 def levinson(r: jax.Array, order: int = MAX_ORDER):
     """Batched Levinson-Durbin.
 
     r: [B, order+1] float32 -> (gamma [B, order], err [B, order+1]).
-    lax.scan over order with carry (a, e); step m computes the reflection
-    coefficient from the current direct-form coeffs.
+    Statically unrolled over order (32 steps): every slice/reverse is a
+    compile-time index, so the whole recursion lowers to cheap strided VPU
+    ops. (A lax.scan version with take_along_axis gathers measured 41 ms per
+    4096x2048 chunk on TPU v5e — the unroll is ~20x cheaper.)
     """
     B = r.shape[0]
     r0 = r[:, 0]
     valid = r0 > 0.0
-    e0 = jnp.where(valid, r0, 1.0)
-
-    def step(carry, m):
-        a, e = carry  # a: [B, order] (a[j] = coeff j+1), e: [B]
-        # acc = r[m] - sum_{j=1..m-1} a_j * r[m-j]
-        idx = m - 1 - jnp.arange(order)  # r index m-(j+1) for slot j
-        rshifted = jnp.take_along_axis(
-            r, jnp.clip(idx, 0, order)[None, :].repeat(B, 0), axis=1
-        )
-        mask = (jnp.arange(order) < (m - 1))[None, :]
-        acc = r[:, 0] * 0.0 + jnp.take_along_axis(r, jnp.full((B, 1), m), axis=1)[:, 0]
-        acc = acc - jnp.sum(jnp.where(mask, a * rshifted, 0.0), axis=-1)
+    e = jnp.where(valid, r0, 1.0)
+    a = jnp.zeros((B, order), r.dtype)
+    ks = []
+    es = []
+    for m in range(1, order + 1):
+        if m == 1:
+            acc = r[:, 1]
+        else:
+            acc = r[:, m] - jnp.sum(a[:, : m - 1] * r[:, 1:m][:, ::-1], axis=-1)
         k = jnp.where(e > 0.0, acc / jnp.maximum(e, 1e-30), 0.0)
         k = jnp.clip(k, -0.999999, 0.999999)
-        # a'_j = a_j - k * a_{m-j} ; a'_m = k
-        a_rev = jnp.take_along_axis(
-            a, jnp.clip(m - 2 - jnp.arange(order), 0, order - 1)[None, :].repeat(B, 0),
-            axis=1,
-        )
-        a_new = jnp.where(mask, a - k[:, None] * a_rev, a)
-        a_new = jnp.where((jnp.arange(order) == (m - 1))[None, :], k[:, None], a_new)
-        e_new = e * (1.0 - k * k)
-        return (a_new, e_new), (k, e_new)
-
-    init = (jnp.zeros((B, order), jnp.float32), e0)
-    _, (ks, es) = jax.lax.scan(step, init, jnp.arange(1, order + 1))
-    gamma = jnp.where(valid[None, :], ks, 0.0).T  # [B, order]
-    err = jnp.concatenate([e0[:, None], jnp.where(valid[None, :], es, e0[None, :]).T], axis=1)
+        if m > 1:
+            a = a.at[:, : m - 1].add(-k[:, None] * a[:, : m - 1][:, ::-1])
+        a = a.at[:, m - 1].set(k)
+        e = e * (1.0 - k * k)
+        ks.append(k)
+        es.append(e)
+    gamma = jnp.where(valid[:, None], jnp.stack(ks, axis=1), 0.0)
+    err = jnp.concatenate(
+        [jnp.where(valid, r0, 1.0)[:, None], jnp.stack(es, axis=1)], axis=1
+    )
     err = jnp.where(valid[:, None], err, jnp.ones_like(err))
     return gamma, err
 

@@ -34,14 +34,15 @@ def reflection_to_lpc(g: jax.Array, order: jax.Array) -> jax.Array:
     """Integer Levinson: [B, P] Q20 reflection + [B] order ->
     [B, P] int32 Q20 direct-form coeffs (slots >= order stay zero).
 
-    a'_i = sat32(a_i - rshift_round(k_m * a_{m-1-i}, 20)) for i < m-1;
-    a'_{m-1} = k_m. Static unroll over P steps (P = MAX_ORDER = 32), each
-    masked by m <= order. NORMATIVE.
+    a'_i = SAT(a_i - rshift_round(k_m * a_{m-1-i}, 20)) for i < m-1 with
+    SAT = clamp to [-2^23, 2^23-1]; a'_{m-1} = k_m. Static unroll over P
+    steps (P = MAX_ORDER = 32), each masked by m <= order. NORMATIVE.
     """
     B, P = g.shape
     cols = jnp.arange(P)[None, :]
     g = jnp.where(cols < order[:, None], g, 0)
     a = jnp.zeros((B, P), jnp.int32)
+    sat_lo, sat_hi = jnp.int32(-(1 << 23)), jnp.int32((1 << 23) - 1)
     for m in range(1, P + 1):
         k = g[:, m - 1]  # [B] Q20, |k| < 2^21
         active = (m <= order)[:, None]
@@ -50,7 +51,9 @@ def reflection_to_lpc(g: jax.Array, order: jax.Array) -> jax.Array:
             a_rev = a[:, rev_idx]
             prod = i64.mul_i32(jnp.broadcast_to(k[:, None], (B, P)), a_rev)
             delta = i64.rshift_round(prod, REF_Q)
-            a_new = i64.saturate_i32(i64.sub(i64.from_i32(a), delta))
+            a_new = jnp.clip(
+                i64.saturate_i32(i64.sub(i64.from_i32(a), delta)), sat_lo, sat_hi
+            )
             mask_tap = (cols < (m - 1)) & active
             a = jnp.where(mask_tap, a_new, a)
         a = jnp.where((cols == (m - 1)) & active, k[:, None], a)

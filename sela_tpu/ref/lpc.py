@@ -108,21 +108,26 @@ def _rshift_round(v: np.ndarray | int, s: int):
     return (v + (1 << (s - 1))) >> s
 
 
+COEFF_SAT_LO = -(1 << 23)
+COEFF_SAT_HI = (1 << 23) - 1
+
+
 def reflection_to_lpc(g_q20: np.ndarray) -> np.ndarray:
     """Integer Levinson recursion: Q20 reflection -> Q20 direct-form coeffs.
 
-    int64 arithmetic, saturated to int32 after EVERY step (bounds all
-    products to 2^52 — no int64 overflow possible). NORMATIVE.
+    int64 arithmetic, saturated to [-2^23, 2^23-1] after EVERY step — bounds
+    all products to 2^44 (no overflow anywhere) and licenses the TPU decode
+    kernel's 12/13-bit limb decomposition (FORMAT.md). NORMATIVE.
     """
     g = np.asarray(g_q20, dtype=np.int64)
     p = len(g)
-    a = np.zeros(0, dtype=np.int64)  # values always within int32 range
+    a = np.zeros(0, dtype=np.int64)  # values always within the SAT bound
     for m in range(1, p + 1):
         k = g[m - 1]
         new_a = np.empty(m, dtype=np.int64)
         if m > 1:
             new_a[: m - 1] = np.clip(
-                a - _rshift_round(k * a[::-1], REF_Q), I32_MIN, I32_MAX
+                a - _rshift_round(k * a[::-1], REF_Q), COEFF_SAT_LO, COEFF_SAT_HI
             )
         new_a[m - 1] = k
         a = new_a
