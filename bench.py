@@ -4,7 +4,7 @@ import os
 import sys
 
 if __name__ == "__main__":
-    seconds = float(os.environ.get("SELA_BENCH_SECONDS", "60"))
+    seconds = float(os.environ.get("SELA_BENCH_SECONDS", "300"))
     chunk = int(os.environ.get("SELA_BENCH_CHUNK_FRAMES", "1024"))
     iters = int(os.environ.get("SELA_BENCH_ITERS", "5"))
     from sela_tpu.bench import run_bench

@@ -164,6 +164,81 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_encode_batch(args) -> int:
+    import os
+
+    from .codec.corpus import encode_files
+    from .ref.wav import read_wav
+
+    wavs = [read_wav(p) for p in args.inputs]
+    t0 = time.perf_counter()
+    bufs = encode_files(wavs)
+    dt = time.perf_counter() - t0
+    os.makedirs(args.out_dir, exist_ok=True)
+    raw = 0
+    comp = 0
+    for p, w, buf in zip(args.inputs, wavs, bufs):
+        name = os.path.splitext(os.path.basename(p))[0] + ".sela"
+        with open(os.path.join(args.out_dir, name), "wb") as f:
+            f.write(buf)
+        raw += w.n_samples * w.n_channels * w.bits_per_sample // 8
+        comp += len(buf)
+    print(
+        f"encoded {len(wavs)} files: {_human(raw)} -> {_human(comp)} "
+        f"(ratio {comp/raw:.3f}) in {dt:.2f}s [{_human(raw/dt)}/s]"
+    )
+    return 0
+
+
+def cmd_decode_batch(args) -> int:
+    import os
+
+    from .codec.corpus import decode_files
+    from .ref.wav import write_wav
+
+    bufs = [open(p, "rb").read() for p in args.inputs]
+    t0 = time.perf_counter()
+    wavs = decode_files(bufs)
+    dt = time.perf_counter() - t0
+    os.makedirs(args.out_dir, exist_ok=True)
+    raw = 0
+    for p, w in zip(args.inputs, wavs):
+        name = os.path.splitext(os.path.basename(p))[0] + ".wav"
+        write_wav(os.path.join(args.out_dir, name), w)
+        raw += w.n_samples * w.n_channels * w.bits_per_sample // 8
+    print(f"decoded {len(wavs)} files: {_human(raw)} in {dt:.2f}s [{_human(raw/dt)}/s]")
+    return 0
+
+
+def cmd_encode_shard(args) -> int:
+    from .parallel.multihost import encode_shard, init_distributed
+    from .ref.wav import read_wav
+
+    rank, n_hosts = args.rank, args.n_hosts
+    if rank is None:  # fall back to jax.distributed topology
+        rank, n_hosts = init_distributed()
+    w = read_wav(args.input)
+    m = encode_shard(w, args.out_dir, rank, n_hosts)
+    print(
+        f"shard {rank}/{n_hosts}: frames [{m['frame_lo']}, {m['frame_hi']}) "
+        f"-> {_human(m['bytes'])} ({m['sha256'][:12]}…)"
+    )
+    return 0
+
+
+def cmd_merge_shards(args) -> int:
+    from .parallel.multihost import merge_shards, missing_shards
+
+    missing = missing_shards(args.shard_dir, args.n_hosts)
+    if missing:
+        print(f"selax: missing shards {missing} — re-run encode-shard for them",
+              file=sys.stderr)
+        return 3
+    info = merge_shards(args.shard_dir, args.n_hosts, args.output)
+    print(f"merged {info['hosts']} shards, {info['frames']} frames -> {args.output}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .bench import run_bench
 
@@ -205,6 +280,23 @@ def build_parser() -> argparse.ArgumentParser:
     ply.add_argument("--wav-out", default=None)
     ben = add("bench", cmd_bench, help="throughput benchmark")
     ben.add_argument("--seconds", type=float, default=60.0)
+    eb = add("encode-batch", cmd_encode_batch, help="batch WAVs -> .sela dir")
+    eb.add_argument("inputs", nargs="+")
+    eb.add_argument("out_dir")
+    db = add("decode-batch", cmd_decode_batch, help="batch .sela -> WAV dir")
+    db.add_argument("inputs", nargs="+")
+    db.add_argument("out_dir")
+    es = add("encode-shard", cmd_encode_shard,
+             help="encode this host's frame range of a long WAV")
+    es.add_argument("input")
+    es.add_argument("out_dir")
+    es.add_argument("--rank", type=int, default=None)
+    es.add_argument("--n-hosts", type=int, default=1)
+    ms = add("merge-shards", cmd_merge_shards,
+             help="rank-ordered merge of shard parts into one .sela")
+    ms.add_argument("shard_dir")
+    ms.add_argument("output")
+    ms.add_argument("--n-hosts", type=int, required=True)
     return p
 
 

@@ -70,7 +70,10 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True):
     order, q = analysis.analyze(xb, nv)
     g = coeffs.dequantize_reflection(q)
     c = coeffs.reflection_to_lpc(g, order)
-    e, eff_order = filters.fir_residues(xb, c, order, nv)
+    # allow_ms doubles as the <=24-bit marker (FORMAT.md): the limb FIR is
+    # exact exactly when |x| < 2^26, i.e. whenever mid/side is permitted
+    fir = filters.fir_residues_fast if allow_ms else filters.fir_residues
+    e, eff_order = fir(xb, c, order, nv)
     cols = jnp.arange(MAX_ORDER)[None, :]
     q_eff = jnp.where(cols < eff_order[:, None], q, 0)
 

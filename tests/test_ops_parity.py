@@ -141,3 +141,23 @@ def test_analysis_produces_working_plans(rng, signal_factory):
         o, qq, e = ref_lpc.render_channel(x[b], int(order[b]), q[b])
         out = ref_lpc.reconstruct_channel(e, o, qq)
         np.testing.assert_array_equal(out, x[b])
+
+
+def test_fir_fast_matches_generic(rng, signal_factory):
+    """Limb FIR == generic FIR for 24-bit-range inputs (any coeffs)."""
+    B, N = 16, 384
+    orders, q = random_plan(rng, B)
+    x = np.stack(
+        [signal_factory(rng, N, amp=2**25 - 2, kind=["ar", "noise"][b % 2])
+         for b in range(B)]
+    ).astype(np.int32)
+    n_valid = np.full(B, N, np.int32)
+    n_valid[2] = 100
+    x[2, 100:] = 0
+    g = _dequant(jnp.asarray(q))
+    c = _refl2lpc(g, jnp.asarray(orders))
+    e1, eff1 = _fir(jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(n_valid))
+    fast = jax.jit(ops_filters.fir_residues_fast)
+    e2, eff2 = fast(jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(n_valid))
+    np.testing.assert_array_equal(np.asarray(eff1), np.asarray(eff2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
