@@ -20,22 +20,53 @@ def _human(nbytes: float) -> str:
     return f"{nbytes:.1f} TB"
 
 
+def _profile_from(args):
+    """Build a BitstreamProfile from CLI flags (None = all defaults)."""
+    from .config import BitstreamProfile
+
+    p = BitstreamProfile(
+        frame_size=getattr(args, "frame_size", None) or BitstreamProfile.frame_size,
+        max_order=getattr(args, "max_order", None) or BitstreamProfile.max_order,
+        rice_k_max=(
+            BitstreamProfile.rice_k_max
+            if getattr(args, "rice_k_max", None) is None
+            else args.rice_k_max
+        ),
+        mid_side="off" if getattr(args, "no_mid_side", False) else "auto",
+    )
+    return p.validate()
+
+
+def _metrics_from(args):
+    from .utils.metrics import NULL_METRICS, Metrics
+
+    return Metrics() if getattr(args, "log_json", False) else NULL_METRICS
+
+
 def cmd_encode(args) -> int:
     from .ref.wav import read_wav
+    from .utils.metrics import profiler_trace
 
     w = read_wav(args.input)
+    profile = _profile_from(args)
+    m = _metrics_from(args)
     t0 = time.perf_counter()
-    if args.engine == "ref":
-        from .ref.codec import encode_wav
+    with profiler_trace(args.profile_trace):
+        if args.engine == "ref":
+            from .ref.codec import encode_wav
 
-        buf = encode_wav(w)
-    else:
-        from .codec.encoder import encode_wav
+            buf = encode_wav(w, profile=profile)
+        else:
+            from .codec.encoder import encode_wav
 
-        buf = encode_wav(w)
+            buf = encode_wav(
+                w, profile=profile, chunk_frames=args.chunk_frames, metrics=m
+            )
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(buf)
+    if args.log_json:
+        m.emit("encode")
     raw = w.n_samples * w.n_channels * w.bits_per_sample // 8
     print(
         f"encoded {args.input}: {_human(raw)} -> {_human(len(buf))} "
@@ -47,20 +78,27 @@ def cmd_encode(args) -> int:
 
 def cmd_decode(args) -> int:
     from .ref.wav import write_wav
+    from .utils.metrics import profiler_trace
 
     with open(args.input, "rb") as f:
         buf = f.read()
+    m = _metrics_from(args)
     t0 = time.perf_counter()
-    if args.engine == "ref":
-        from .ref.codec import decode_sela
+    with profiler_trace(args.profile_trace):
+        if args.engine == "ref":
+            from .ref.codec import decode_sela
 
-        w = decode_sela(buf)
-    else:
-        from .codec.decoder import decode_sela
+            w = decode_sela(buf)
+        else:
+            from .codec.decoder import decode_sela
 
-        w = decode_sela(buf)
+            w = decode_sela(
+                buf, chunk_frames=args.chunk_frames, iir=args.iir, metrics=m
+            )
     dt = time.perf_counter() - t0
     write_wav(args.output, w)
+    if args.log_json:
+        m.emit("decode")
     raw = w.n_samples * w.n_channels * w.bits_per_sample // 8
     print(
         f"decoded {args.input}: {_human(len(buf))} -> {_human(raw)} "
@@ -76,13 +114,14 @@ def cmd_verify(args) -> int:
     from .ref.wav import read_wav
 
     w = read_wav(args.input)
+    profile = _profile_from(args)
     if args.engine == "ref":
         from .ref.codec import decode_sela, encode_wav
     else:
         from .codec.decoder import decode_sela
         from .codec.encoder import encode_wav
 
-    buf = encode_wav(w)
+    buf = encode_wav(w, profile=profile)
     out = decode_sela(buf)
     ok = (
         out.sample_rate == w.sample_rate
@@ -263,16 +302,45 @@ def build_parser() -> argparse.ArgumentParser:
             "--cpu", action="store_true",
             help="force the JAX CPU backend (unregisters TPU plugins)",
         )
+        sp.add_argument(
+            "--chunk-frames", type=int, default=512,
+            help="frames per jit'd device batch (runtime-only knob)",
+        )
+        sp.add_argument(
+            "--log-json", action="store_true",
+            help="emit one JSON-lines metrics record to stderr",
+        )
+        sp.add_argument(
+            "--profile-trace", default=None, metavar="DIR",
+            help="write a jax.profiler trace (TensorBoard/Perfetto) to DIR",
+        )
         return sp
+
+    def add_profile_flags(sp):
+        """Encoder-side BitstreamProfile knobs (defaults = FORMAT.md v1)."""
+        sp.add_argument("--frame-size", type=int, default=None,
+                        help="samples/channel/frame (<= 2048)")
+        sp.add_argument("--max-order", type=int, default=None,
+                        help="LPC order search cap (<= 32)")
+        sp.add_argument("--rice-k-max", type=int, default=None,
+                        help="Rice optimal-k search cap (<= 30)")
+        sp.add_argument("--no-mid-side", action="store_true",
+                        help="disable mid/side decorrelation candidates")
 
     enc = add("encode", cmd_encode, help="WAV -> .sela")
     enc.add_argument("input")
     enc.add_argument("output")
+    add_profile_flags(enc)
     dec = add("decode", cmd_decode, help=".sela -> WAV")
     dec.add_argument("input")
     dec.add_argument("output")
+    dec.add_argument(
+        "--iir", choices=["scan", "pallas", "pallas_generic"], default=None,
+        help="decode kernel override (default: auto by backend/bit depth)",
+    )
     ver = add("verify", cmd_verify, help="round-trip bit-exactness check")
     ver.add_argument("input")
+    add_profile_flags(ver)
     inf = add("info", cmd_info, help="container info")
     inf.add_argument("input")
     ply = add("play", cmd_play, help="decode to audio device")

@@ -19,7 +19,7 @@ from ..ref.wav import WavData
 from ..utils.bitpack import pack_blocks, unpack_blocks
 from .decoder import DEFAULT_CHUNK_FRAMES
 from .encoder import frame_batches
-from .pipeline import decode_step, encode_step
+from .pipeline import decode_step, default_fused, encode_step
 
 
 def encode_files(wavs: list[WavData], chunk_frames: int = DEFAULT_CHUNK_FRAMES,
@@ -50,7 +50,9 @@ def encode_files(wavs: list[WavData], chunk_frames: int = DEFAULT_CHUNK_FRAMES,
             nc = np.zeros(chunk_frames, np.int32)
             xc[: stop - start] = x_all[start:stop]
             nc[: stop - start] = nv_all[start:stop]
-            out = encode_step(xc, nc, allow_ms=allow_ms)
+            out = encode_step(
+                xc, nc, allow_ms=allow_ms, fused=default_fused(allow_ms)
+            )
             outs.append({k: np.asarray(v)[: stop - start] for k, v in out.items()})
         merged = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 

@@ -17,7 +17,7 @@ from ..ref import rice as ref_rice
 from ..ref.frame import SubFrame
 from ..ref.wav import WavData
 from ..utils.bitpack import pack_blocks
-from .pipeline import encode_step
+from .pipeline import default_fused, encode_step
 
 DEFAULT_CHUNK_FRAMES = 512
 
@@ -40,13 +40,29 @@ def frame_batches(channels: list[np.ndarray], frame_size: int = FRAME_SIZE):
 
 
 def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
-               chunk_frames: int = DEFAULT_CHUNK_FRAMES) -> bytes:
-    """Encode WavData to .sela bytes using the JAX pipeline."""
+               chunk_frames: int = DEFAULT_CHUNK_FRAMES,
+               profile=None, metrics=None) -> bytes:
+    """Encode WavData to .sela bytes using the JAX pipeline.
+
+    profile: optional sela_tpu.config.BitstreamProfile (defaults = v1).
+    metrics: optional sela_tpu.utils.metrics.Metrics sink for stage timings.
+    """
     if w.n_samples == 0:
         raise ValueError("empty audio")
+    max_order, rice_k_max, allow_ms = MAX_ORDER, None, True
+    if profile is not None:
+        profile.validate()
+        frame_size = profile.frame_size
+        max_order = profile.max_order
+        rice_k_max = profile.rice_k_max
+        allow_ms = profile.mid_side != "off"
+    allow_ms = allow_ms and w.bits_per_sample <= 24  # FORMAT.md: 32-bit is LR-only
     x, n_valid = frame_batches(w.channels, frame_size)
     F, C, S = x.shape
 
+    from ..utils.metrics import NULL_METRICS
+
+    m = metrics or NULL_METRICS
     frames: list[bytes] = []
     for start in range(0, F, chunk_frames):
         stop = min(start + chunk_frames, F)
@@ -56,14 +72,22 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
         nv = np.zeros(chunk_frames, dtype=np.int32)
         xc[:fcount] = x[start:stop]
         nv[:fcount] = n_valid[start:stop]
-        allow_ms = w.bits_per_sample <= 24  # FORMAT.md: 32-bit PCM is LR-only
-        out = {
-            k: np.asarray(v)
-            for k, v in encode_step(xc, nv, allow_ms=allow_ms).items()
-        }
-        frames.extend(_pack_chunk(out, nv, fcount))
+        with m.stage("device_encode"):
+            out = {
+                k: np.asarray(v)
+                for k, v in encode_step(
+                    xc, nv, allow_ms=allow_ms, max_order=max_order,
+                    rice_k_max=rice_k_max, fused=default_fused(allow_ms),
+                ).items()
+            }
+        with m.stage("host_pack"):
+            frames.extend(_pack_chunk(out, nv, fcount))
+        m.count("frames", fcount)
     header = container.SelaHeader(w.sample_rate, w.bits_per_sample, C, F)
-    return container.serialize_file(header, frames)
+    buf = container.serialize_file(header, frames)
+    m.count("pcm_bytes", w.n_samples * w.n_channels * w.bits_per_sample // 8)
+    m.count("coded_bytes", len(buf))
+    return buf
 
 
 def _pack_chunk(out: dict, n_valid: np.ndarray, fcount: int) -> list[bytes]:

@@ -49,17 +49,36 @@ def make_candidates(x: jax.Array):
     return x
 
 
-@partial(jax.jit, static_argnames=("allow_ms",))
-def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True):
+def default_fused(allow_ms: bool = True) -> bool:
+    """Use the fused Pallas FIR+Rice kernel? TPU backend and <=24-bit only
+    (the limb FIR needs |x| < 2^26; allow_ms doubles as that marker)."""
+    import jax as _jax
+
+    return bool(allow_ms) and _jax.default_backend() == "tpu"
+
+
+@partial(jax.jit,
+         static_argnames=("allow_ms", "max_order", "rice_k_max", "fused"))
+def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
+                max_order: int = MAX_ORDER, rice_k_max: int | None = None,
+                fused: bool = False):
     """Full encode analysis+render for one chunk.
 
     x: [F, C, S] int32 zero-padded, n_valid: [F] int32. allow_ms=False
     disables mid/side candidates (required for 32-bit PCM — FORMAT.md).
+    max_order / rice_k_max are BitstreamProfile caps (static; defaults are
+    the FORMAT.md v1 profile). fused=True routes the FIR + residue Rice
+    planning through the fused Pallas kernel (TPU; bit-identical outputs —
+    see default_fused()).
     Returns dict of per-(frame, channel) planning arrays + residues, where the
     mid/side decision has already been applied:
       residues [F, C, S], order [F, C], qcoeffs [F, C, MAX_ORDER],
       k_res/k_coeff [F, C], sftype [F, C], nw_res/nw_coeff [F, C].
     """
+    from ..format import RICE_K_MAX
+
+    if rice_k_max is None:
+        rice_k_max = RICE_K_MAX
     F, C, S = x.shape
     cand = make_candidates(x) if allow_ms else x  # [F, C2, S]
     C2 = cand.shape[1]
@@ -67,18 +86,25 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True):
     xb = cand.reshape(B, S)
     nv = jnp.repeat(n_valid, C2).astype(jnp.int32)
 
-    order, q = analysis.analyze(xb, nv)
+    order, q = analysis.analyze(xb, nv, max_order)
     g = coeffs.dequantize_reflection(q)
     c = coeffs.reflection_to_lpc(g, order)
-    # allow_ms doubles as the <=24-bit marker (FORMAT.md): the limb FIR is
-    # exact exactly when |x| < 2^26, i.e. whenever mid/side is permitted
-    fir = filters.fir_residues_fast if allow_ms else filters.fir_residues
-    e, eff_order = fir(xb, c, order, nv)
+    if fused and allow_ms:
+        from ..kernels.encode import fir_rice_pallas
+
+        e, eff_order, sums = fir_rice_pallas(xb, c, order, nv)
+        k_res, bits_res = rice.k_and_bits_from_sums(sums, nv, rice_k_max)
+        nw_res = rice.block_words(bits_res)
+    else:
+        # allow_ms doubles as the <=24-bit marker (FORMAT.md): the limb FIR
+        # is exact exactly when |x| < 2^26, i.e. whenever mid/side is allowed
+        fir = filters.fir_residues_fast if allow_ms else filters.fir_residues
+        e, eff_order = fir(xb, c, order, nv)
+        k_res, bits_res, nw_res = rice.plan_blocks(e, nv, rice_k_max)
     cols = jnp.arange(MAX_ORDER)[None, :]
     q_eff = jnp.where(cols < eff_order[:, None], q, 0)
 
-    k_res, bits_res, nw_res = rice.plan_blocks(e, nv)
-    k_coeff, bits_coeff, nw_coeff = rice.plan_blocks(q_eff, eff_order)
+    k_coeff, bits_coeff, nw_coeff = rice.plan_blocks(q_eff, eff_order, rice_k_max)
     block_bits = 32 * (nw_res + nw_coeff)  # oracle decision metric
 
     def g2(a):

@@ -1,0 +1,181 @@
+"""Fused Pallas encode kernel: FIR residues + zigzag + Rice cost sums.
+
+The encode hot path (SURVEY.md §3 "hot-loop ranking" ③/④: FIR residual and
+optimal-k search; parity target upstream:src/lpc/residue_generator.cpp +
+src/rice/rice_encoder.cpp, path-level cites — mount empty). The jnp version
+(ops.filters.fir_residues_fast + ops.rice.plan_blocks) re-reads the [B, S]
+signal from HBM ~32 times for the FIR taps and ~31 more for the k-search;
+this kernel loads each row tile into VMEM once and does everything on-chip:
+
+  1. limb-decomposed Q20 FIR (same 12/13-bit split as the decode kernel —
+     int32-exact for |x| < 2^26, i.e. any PCM <= 24-bit incl. side channels),
+  2. the |e| < 2^30 residue guard with order-0 verbatim fallback,
+  3. zigzag and the exact 64-bit Rice cost sums sum(u >> k) for k = 0..30,
+     written as (hi, lo) int32 pairs per row.
+
+Outputs are bit-identical to the jnp path (tested in interpret mode and on
+TPU); ops.rice.k_and_bits_from_sums turns the sums into (k, bits) with the
+same tie-breaking as the oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format import MAX_ORDER, REF_Q
+from ..ops import i64
+
+P = MAX_ORDER
+# Rows per grid cell. The unrolled tap/k loops keep ~430 KB of VMEM
+# temporaries alive PER ROW (measured via Mosaic's scoped-vmem accounting);
+# 64 rows ~ 28 MB, within the raised 100 MB scoped limit below and the best
+# throughput of the swept sizes.
+ROWS = 64
+VMEM_LIMIT = 100 * 1024 * 1024
+KSUMS = 32  # k = 0..30 used; padded to 32 columns
+
+
+def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, shi_ref, slo_ref):
+    """One [R, S] tile.
+
+    x_ref: [R, S] int32 samples (zero-padded rows); c_ref: [R, P] int32 Q20
+    coeffs (zero beyond order); nv_ref: [R, 1] int32 valid counts.
+    e_ref: [R, S] int32 residues (guard applied, zero beyond valid);
+    ok_ref: [R, 1] int32 guard flag; shi/slo_ref: [R, 32] int32 — i64 pair of
+    sum(zigzag(e) >> k) over valid samples, per k.
+    """
+    R, S = x_ref.shape
+    x = x_ref[:, :]
+    xh = jax.lax.shift_right_arithmetic(x, 13)
+    xl = x & 0x1FFF
+    ch = jax.lax.shift_right_arithmetic(c_ref[:, :], 12)  # [R, P]
+    cl = c_ref[:, :] & 0xFFF
+
+    zcol = jnp.zeros((R, S), jnp.int32)
+    s_hh = zcol
+    s_hl = zcol
+    s_lh = zcol
+    s_ll = zcol
+    for j in range(1, P + 1):
+        # value at position n is x[n-j]; zeros for n < j
+        xh_s = jnp.concatenate([zcol[:, :j], xh[:, : S - j]], axis=1)
+        xl_s = jnp.concatenate([zcol[:, :j], xl[:, : S - j]], axis=1)
+        chj = ch[:, j - 1 : j]
+        clj = cl[:, j - 1 : j]
+        s_hh = s_hh + chj * xh_s
+        s_hl = s_hl + chj * xl_s
+        s_lh = s_lh + clj * xh_s
+        s_ll = s_ll + clj * xl_s
+
+    acc = i64.add(
+        i64.add(i64.shl(i64.from_i32(s_hh), 25), i64.shl(i64.from_i32(s_hl), 12)),
+        i64.add(i64.shl(i64.from_i32(s_lh), 13), i64.from_i32(s_ll)),
+    )
+    pred = i64.rshift_round(acc, REF_Q)
+    e = i64.sub(i64.from_i32(x), pred)
+
+    nv = nv_ref[:, :]  # [R, 1]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1) < nv
+    ok_row = jnp.min(
+        jnp.where(~valid | i64.abs_lt_pow2(e, 30), jnp.int32(1), jnp.int32(0)),
+        axis=1,
+        keepdims=True,
+    )  # [R, 1]
+    e32 = jnp.where(
+        (ok_row > 0) & valid, i64.to_i32(e), jnp.where(valid, x, 0)
+    )
+    e_ref[:, :] = e32
+    ok_ref[:, :] = ok_row
+
+    # zigzag (int32 bit pattern == uint32 zigzag) + masked exact cost sums
+    u = jax.lax.bitcast_convert_type(
+        (e32 << 1) ^ jax.lax.shift_right_arithmetic(e32, 31), jnp.uint32
+    )
+    u = jnp.where(valid, u, jnp.uint32(0))
+    mask16 = jnp.uint32(0xFFFF)
+    for k in range(KSUMS - 1):  # k = 0..30
+        v = u >> k
+        # 16-bit halves fit int32 (Mosaic has no unsigned reductions);
+        # each half-sum <= 2048*2^16 < 2^27
+        lo = jnp.sum(
+            jax.lax.bitcast_convert_type(v & mask16, jnp.int32),
+            axis=1, keepdims=True,
+        )
+        hi = jnp.sum(
+            jax.lax.bitcast_convert_type(v >> 16, jnp.int32),
+            axis=1, keepdims=True,
+        )
+        # total = hi*2^16 + lo as an i64 (hi can reach 2^27)
+        s = i64.add(
+            i64.I64(
+                jax.lax.shift_right_arithmetic(hi, 16),
+                jax.lax.bitcast_convert_type(hi << 16, jnp.uint32),
+            ),
+            i64.I64(
+                jnp.zeros_like(hi),
+                jax.lax.bitcast_convert_type(lo, jnp.uint32),
+            ),
+        )
+        shi_ref[:, k : k + 1] = s.hi
+        slo_ref[:, k : k + 1] = jax.lax.bitcast_convert_type(s.lo, jnp.int32)
+    shi_ref[:, KSUMS - 1 : KSUMS] = jnp.zeros((R, 1), jnp.int32)
+    slo_ref[:, KSUMS - 1 : KSUMS] = jnp.zeros((R, 1), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fir_rice_tiles(x, c, nv2, interpret: bool):
+    B, S = x.shape
+    grid = (B // ROWS,)
+    return pl.pallas_call(
+        _fir_rice_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S), jnp.int32),       # residues
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),       # ok flag
+            jax.ShapeDtypeStruct((B, KSUMS), jnp.int32),   # sum hi
+            jax.ShapeDtypeStruct((B, KSUMS), jnp.int32),   # sum lo
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ROWS, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, KSUMS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, KSUMS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(x, c, nv2)
+
+
+def fir_rice_pallas(x: jax.Array, coeffs: jax.Array, order: jax.Array,
+                    n_valid: jax.Array, interpret: bool | None = None):
+    """Fused FIR + Rice cost sums. Drop-in for
+    (ops.filters.fir_residues_fast, ops.rice residue cost sums).
+
+    x: [B, S] int32 (|x| < 2^26 — PCM <= 24-bit incl. mid/side candidates);
+    coeffs: [B, P] int32 Q20; order, n_valid: [B] int32.
+    Returns (e [B, S] int32, eff_order [B] int32, sums I64 [B, 32]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, S = x.shape
+    pad = (-B) % ROWS
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        coeffs = jnp.pad(coeffs, ((0, pad), (0, 0)))
+        n_valid = jnp.pad(n_valid, (0, pad))
+    nv2 = n_valid.astype(jnp.int32)[:, None]
+    e, ok, shi, slo = _fir_rice_tiles(x, coeffs, nv2, interpret)
+    if pad:
+        e, ok, shi, slo = e[:B], ok[:B], shi[:B], slo[:B]
+    eff_order = jnp.where(ok[:, 0] > 0, order, 0).astype(jnp.int32)
+    sums = i64.I64(shi, jax.lax.bitcast_convert_type(slo, jnp.uint32))
+    return e, eff_order, sums

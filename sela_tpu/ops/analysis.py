@@ -72,15 +72,18 @@ def levinson(r: jax.Array, order: int = MAX_ORDER):
     return gamma, err
 
 
-def select_order(err: jax.Array, n_valid: jax.Array) -> jax.Array:
+def select_order(err: jax.Array, n_valid: jax.Array,
+                 max_order: int = MAX_ORDER) -> jax.Array:
     """[B, order+1] err, [B] sample counts -> [B] chosen order.
 
-    cost(m) = N/2 * log2(max(err_m, tiny)) + COEFF_BIT_COST * m  (oracle rule).
+    cost(m) = N/2 * log2(max(err_m, tiny)) + COEFF_BIT_COST * m  (oracle rule);
+    orders above max_order (BitstreamProfile cap) are excluded.
     """
     tiny = 1e-9
     m = jnp.arange(err.shape[1], dtype=jnp.float32)[None, :]
     nf = n_valid.astype(jnp.float32)[:, None]
     cost = 0.5 * nf * jnp.log2(jnp.maximum(err, tiny)) + COEFF_BIT_COST * m
+    cost = jnp.where(m > max_order, jnp.inf, cost)
     return jnp.argmin(cost, axis=-1).astype(jnp.int32)
 
 
@@ -96,11 +99,11 @@ def quantize_reflection(gamma: jax.Array) -> jax.Array:
     return jnp.clip(q, Q_CLAMP_LO, Q_CLAMP_HI).astype(jnp.int32)
 
 
-def analyze(x: jax.Array, n_valid: jax.Array):
+def analyze(x: jax.Array, n_valid: jax.Array, max_order: int = MAX_ORDER):
     """Full analysis: [B, N] int32, [B] counts -> (order [B], qcoeffs [B, MAX_ORDER])."""
     r = autocorr(x)
     gamma, err = levinson(r)
-    order = select_order(err, n_valid)
+    order = select_order(err, n_valid, max_order)
     q = quantize_reflection(gamma)
     # zero out coefficients beyond the chosen order
     q = jnp.where(jnp.arange(q.shape[1])[None, :] < order[:, None], q, 0)

@@ -16,15 +16,30 @@ from . import container, frame
 from .wav import WavData
 
 
-def encode_wav(w: WavData, frame_size: int = FRAME_SIZE) -> bytes:
+def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
+               profile=None) -> bytes:
+    """profile: optional sela_tpu.config.BitstreamProfile (defaults = v1).
+
+    Mid/side is disabled for 32-bit PCM regardless of profile (FORMAT.md:
+    "For 32-bit PCM the encoder MUST use type 0 only" — the side channel
+    would exceed int32).
+    """
     n = w.n_samples
     if n == 0:
         raise ValueError("empty audio")
+    max_order, rice_k_max, allow_ms = 32, 30, True
+    if profile is not None:
+        profile.validate()
+        frame_size = profile.frame_size
+        max_order = profile.max_order
+        rice_k_max = profile.rice_k_max
+        allow_ms = profile.mid_side != "off"
+    allow_ms = allow_ms and w.bits_per_sample <= 24
     frames = []
     for start in range(0, n, frame_size):
         stop = min(start + frame_size, n)
         chans = [c[start:stop] for c in w.channels]
-        subframes = frame.encode_frame(chans)
+        subframes = frame.encode_frame(chans, max_order, rice_k_max, allow_ms)
         frames.append(container.serialize_frame(subframes, stop - start))
     header = container.SelaHeader(
         w.sample_rate, w.bits_per_sample, w.n_channels, len(frames)

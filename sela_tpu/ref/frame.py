@@ -47,40 +47,46 @@ def inverse_mid_side(mid: np.ndarray, side: np.ndarray):
     return left.astype(np.int32), right.astype(np.int32)
 
 
-def _encode_signal(x: np.ndarray):
+def _encode_signal(x: np.ndarray, max_order: int = 32, rice_k_max: int = 30):
     """Full per-signal path: analyze -> render -> rice. Returns (subframe
     fields minus channel/type, exact total payload bits)."""
-    order, q = lpc.analyze_channel(x)
+    order, q = lpc.analyze_channel(x, max_order)
     order, q, e = lpc.render_channel(x, order, q)
-    k_c, cw = rice.encode(q)
-    k_r, rw = rice.encode(e)
+    k_c, cw = rice.encode(q, k_max=rice_k_max)
+    k_r, rw = rice.encode(e, k_max=rice_k_max)
     bits = 32 * (len(cw) + len(rw))
     return order, q, k_c, cw, k_r, rw, bits
 
 
-def encode_frame(channels: list[np.ndarray]) -> list[SubFrame]:
+def encode_frame(channels: list[np.ndarray], max_order: int = 32,
+                 rice_k_max: int = 30, allow_ms: bool = True) -> list[SubFrame]:
     nch = len(channels)
     n = len(channels[0]) if nch else 0
     subframes: list[SubFrame] = []
+    enc = lambda x: _encode_signal(x, max_order, rice_k_max)
     ch = 0
     while ch < nch:
         if ch + 1 < nch:
             left, right = channels[ch], channels[ch + 1]
-            mid, side = mid_side(left, right)
-            enc_l = _encode_signal(left)
-            enc_r = _encode_signal(right)
-            enc_m = _encode_signal(mid)
-            enc_s = _encode_signal(side)
-            if enc_m[-1] + enc_s[-1] < enc_l[-1] + enc_r[-1]:
+            enc_l = enc(left)
+            enc_r = enc(right)
+            if allow_ms:
+                mid, side = mid_side(left, right)
+                enc_m = enc(mid)
+                enc_s = enc(side)
+                use_ms = enc_m[-1] + enc_s[-1] < enc_l[-1] + enc_r[-1]
+            else:
+                use_ms = False
+            if use_ms:
                 picks = [(SF_MID, enc_m), (SF_SIDE, enc_s)]
             else:
                 picks = [(SF_DIRECT, enc_l), (SF_DIRECT, enc_r)]
-            for off, (t, enc) in enumerate(picks):
-                order, q, k_c, cw, k_r, rw, _ = enc
+            for off, (t, e) in enumerate(picks):
+                order, q, k_c, cw, k_r, rw, _ = e
                 subframes.append(SubFrame(ch + off, t, order, k_c, cw, k_r, rw, n))
             ch += 2
         else:
-            order, q, k_c, cw, k_r, rw, _ = _encode_signal(channels[ch])
+            order, q, k_c, cw, k_r, rw, _ = enc(channels[ch])
             subframes.append(SubFrame(ch, SF_DIRECT, order, k_c, cw, k_r, rw, n))
             ch += 1
     return subframes

@@ -167,13 +167,14 @@ def iir_synthesize(e: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
 
 # ----------------------------------------------------------------- plan API --
 
-def analyze_channel(x: np.ndarray) -> tuple[int, np.ndarray]:
+def analyze_channel(x: np.ndarray,
+                    max_order: int = MAX_ORDER) -> tuple[int, np.ndarray]:
     """Float analysis for one channel signal: returns (order, qcoeffs[order])."""
     n = len(x)
     if n == 0:
         return 0, np.zeros(0, dtype=np.int32)
-    r = autocorr(x)
-    gamma, err = levinson_reflection(r)
+    r = autocorr(x, max_order)
+    gamma, err = levinson_reflection(r, max_order)
     order = select_order(err, n)
     q = quantize_reflection(gamma[:order])
     return order, q

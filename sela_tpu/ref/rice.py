@@ -32,8 +32,8 @@ def unzigzag(u: np.ndarray) -> np.ndarray:
     return np.where(odd, ~half, half).astype(np.uint32).view(np.int32)
 
 
-def optimal_k(u: np.ndarray) -> int:
-    """Minimize C(k) = sum(u >> k) + n*(k+1) over k in [0, RICE_K_MAX].
+def optimal_k(u: np.ndarray, k_max: int = RICE_K_MAX) -> int:
+    """Minimize C(k) = sum(u >> k) + n*(k+1) over k in [0, k_max].
 
     Returns RICE_K_ESCAPE when even the best Rice cost exceeds verbatim
     storage (32 bits/value).
@@ -42,7 +42,7 @@ def optimal_k(u: np.ndarray) -> int:
     if n == 0:
         return 0
     u = np.asarray(u, dtype=np.uint64)
-    ks = np.arange(RICE_K_MAX + 1, dtype=np.uint64)
+    ks = np.arange(k_max + 1, dtype=np.uint64)
     costs = (u[None, :] >> ks[:, None]).sum(axis=1) + n * (ks + 1)
     best = int(np.argmin(costs))
     if costs[best] > 32 * n:
@@ -57,12 +57,13 @@ def bit_lengths(u: np.ndarray, k: int) -> np.ndarray:
     return ((u >> np.uint64(k)) + 1 + k).astype(np.int64)
 
 
-def encode(values: np.ndarray, k: int | None = None) -> tuple[int, np.ndarray]:
+def encode(values: np.ndarray, k: int | None = None,
+           k_max: int = RICE_K_MAX) -> tuple[int, np.ndarray]:
     """Encode int32 values; returns (k, uint32 words)."""
     values = np.asarray(values, dtype=np.int32)
     u = zigzag(values)
     if k is None:
-        k = optimal_k(u)
+        k = optimal_k(u, k_max)
     n = len(u)
     if n == 0:
         return k, np.zeros(0, dtype=np.uint32)

@@ -26,6 +26,10 @@ xla_bridge._backend_factories.pop("axon", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's many jit signatures (static profile
+# knobs, chunk shapes) compile once per machine instead of once per run.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -1,0 +1,112 @@
+"""Config system: validation, profile threading, runtime-invariance of bytes."""
+import numpy as np
+import pytest
+
+from sela_tpu.codec.decoder import decode_sela
+from sela_tpu.codec.encoder import encode_wav
+from sela_tpu.config import BitstreamProfile, RuntimeConfig, from_env
+from sela_tpu.ref import codec as ref_codec
+from sela_tpu.ref.wav import WavData
+from sela_tpu.utils.metrics import Metrics
+
+
+def make_wav(rng, signal_factory, n=2048 * 3 + 511):
+    return WavData(
+        44100, 16,
+        [signal_factory(rng, n, kind="ar"), signal_factory(rng, n, kind="tone")],
+    )
+
+
+def test_profile_validation():
+    BitstreamProfile().validate()
+    with pytest.raises(ValueError, match="frame_size"):
+        BitstreamProfile(frame_size=4096).validate()
+    with pytest.raises(ValueError, match="max_order"):
+        BitstreamProfile(max_order=0).validate()
+    with pytest.raises(ValueError, match="rice_k_max"):
+        BitstreamProfile(rice_k_max=31).validate()
+    with pytest.raises(ValueError, match="mid_side"):
+        BitstreamProfile(mid_side="always").validate()
+    with pytest.raises(ValueError, match="engine"):
+        RuntimeConfig(engine="torch").validate()
+    assert BitstreamProfile().is_v1_default
+    assert not BitstreamProfile(max_order=8).is_v1_default
+
+
+def test_runtime_config_from_env(monkeypatch):
+    monkeypatch.setenv("SELA_CHUNK_FRAMES", "64")
+    monkeypatch.setenv("SELA_LOG_JSON", "true")
+    monkeypatch.setenv("SELA_IIR_KERNEL", "scan")
+    cfg = from_env()
+    assert cfg.chunk_frames == 64
+    assert cfg.log_json is True
+    assert cfg.iir_kernel == "scan"
+
+
+PROFILE = BitstreamProfile(frame_size=1024, max_order=8, rice_k_max=14)
+
+
+def test_nondefault_profile_roundtrips_both_engines(rng, signal_factory):
+    w = make_wav(rng, signal_factory)
+    for enc in (
+        lambda: encode_wav(w, profile=PROFILE, chunk_frames=8),
+        lambda: ref_codec.encode_wav(w, profile=PROFILE),
+    ):
+        buf = enc()
+        out = decode_sela(buf, chunk_frames=8)
+        for a, b in zip(out.channels, w.channels):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_jax_matches_oracle_under_profile(rng, signal_factory):
+    """Same profile => decode-exact streams from either engine; the jax
+    stream must also not be larger (both use exact-bits planning)."""
+    w = make_wav(rng, signal_factory, n=2048 * 2 + 100)
+    buf_jax = encode_wav(w, profile=PROFILE, chunk_frames=8)
+    buf_ref = ref_codec.encode_wav(w, profile=PROFILE)
+    assert len(buf_jax) <= len(buf_ref)
+    for buf in (buf_jax, buf_ref):
+        out = ref_codec.decode_sela(buf)
+        for a, b in zip(out.channels, w.channels):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_mid_side_off_emits_direct_only(rng, signal_factory):
+    from sela_tpu.format import SF_DIRECT
+    from sela_tpu.ref import container
+
+    w = make_wav(rng, signal_factory, n=2048 * 2)
+    buf = encode_wav(w, profile=BitstreamProfile(mid_side="off"), chunk_frames=8)
+    h = container.parse_header(buf)
+    pos = container.HEADER_SIZE
+    for _ in range(h.num_frames):
+        sfs, _, pos = container.parse_frame(buf, pos, h.channels)
+        assert all(sf.sftype == SF_DIRECT for sf in sfs)
+
+
+def test_runtime_knobs_do_not_change_bytes(rng, signal_factory):
+    w = make_wav(rng, signal_factory, n=2048 * 3 + 17)
+    a = encode_wav(w, chunk_frames=8)
+    b = encode_wav(w, chunk_frames=2)
+    assert a == b
+
+
+def test_metrics_counters_and_stages(rng, signal_factory):
+    w = make_wav(rng, signal_factory, n=2048 + 5)
+    m = Metrics()
+    buf = encode_wav(w, chunk_frames=8, metrics=m)
+    rec = m.snapshot("encode")
+    assert rec["frames"] == 2
+    assert rec["coded_bytes"] == len(buf)
+    assert rec["pcm_bytes"] == w.n_samples * 2 * 2
+    assert 0 < rec["ratio"] < 1.5
+    assert rec["device_encode_s"] > 0
+    assert rec["host_pack_s"] > 0
+
+    m2 = Metrics()
+    out = decode_sela(buf, metrics=m2)
+    rec2 = m2.snapshot("decode")
+    assert rec2["frames"] == 2
+    assert rec2["host_parse_s"] > 0
+    for a, b in zip(out.channels, w.channels):
+        np.testing.assert_array_equal(a, b)

@@ -97,3 +97,53 @@ def test_decode_step_pallas_impls_match(rng, signal_factory):
     np.testing.assert_array_equal(scan, x)
     np.testing.assert_array_equal(fast, scan)
     np.testing.assert_array_equal(gen, scan)
+
+
+def test_fused_encode_kernel_matches_jnp(rng, signal_factory):
+    """fir_rice_pallas == (fir_residues_fast + plan_blocks), bit for bit."""
+    from sela_tpu.kernels.encode import fir_rice_pallas
+    from sela_tpu.ops import rice as ops_rice
+
+    B, N = 6, 2048
+    kinds = ["ar", "tone", "noise", "silence", "impulse", "dc"]
+    x = np.stack(
+        [signal_factory(rng, N, amp=2**23 - 7, kind=k) for k in kinds]
+    ).astype(np.int32)
+    nv = np.array([N, N, N - 301, N, 1, N], np.int32)
+    x[2, nv[2]:] = 0
+    x[4, nv[4]:] = 0
+    orders, q = _plan(rng, B)
+    c = _refl2lpc(_dequant(jnp.asarray(q)), jnp.asarray(orders))
+
+    e_want, eff_want = jax.jit(ops_filters.fir_residues_fast)(
+        jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(nv))
+    k_want, bits_want, nw_want = jax.jit(ops_rice.plan_blocks)(
+        e_want, jnp.asarray(nv))
+
+    e_got, eff_got, sums = fir_rice_pallas(
+        jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(nv),
+        interpret=True)
+    k_got, bits_got = ops_rice.k_and_bits_from_sums(sums, jnp.asarray(nv))
+
+    np.testing.assert_array_equal(np.asarray(e_got), np.asarray(e_want))
+    np.testing.assert_array_equal(np.asarray(eff_got), np.asarray(eff_want))
+    np.testing.assert_array_equal(np.asarray(k_got), np.asarray(k_want))
+    np.testing.assert_array_equal(np.asarray(bits_got), np.asarray(bits_want))
+
+
+def test_encode_step_fused_matches_unfused(rng, signal_factory):
+    """encode_step(fused=True) (interpret on CPU) == encode_step(fused=False)."""
+    from sela_tpu.codec.pipeline import encode_step
+
+    F, C, S = 3, 2, 2048
+    x = np.stack(
+        [np.stack([signal_factory(rng, S, kind="ar") for _ in range(C)])
+         for _ in range(F)]
+    ).astype(np.int32)
+    nv = np.array([S, S, S - 77], np.int32)
+    x[2, :, nv[2]:] = 0
+    a = encode_step(x, nv, fused=False)
+    b = encode_step(x, nv, fused=True)
+    for key in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[key]), np.asarray(b[key]), err_msg=key)

@@ -161,3 +161,28 @@ def test_fir_fast_matches_generic(rng, signal_factory):
     e2, eff2 = fast(jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(n_valid))
     np.testing.assert_array_equal(np.asarray(eff1), np.asarray(eff2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_rice_k_exact_on_extreme_magnitudes(rng):
+    """Regression: the 16-bit-split cost sum must carry hi*2^16 into the high
+    i64 word — with it dropped, 24-bit-noise-scale residues planned k=0."""
+    import numpy as np
+
+    from sela_tpu.ops import rice as jrice
+    from sela_tpu.ref import rice as rrice
+
+    cases = [
+        np.full((1, 2048), 1 << 25, np.int32),
+        rng.integers(-(1 << 23), 1 << 23, (4, 2048)).astype(np.int32),
+        np.full((1, 2048), -(1 << 31), np.int32),
+        rng.integers(-(1 << 29), 1 << 29, (4, 2048)).astype(np.int32),
+    ]
+    for v in cases:
+        B, N = v.shape
+        u = jrice.zigzag(jnp.asarray(v))
+        k, bits = jrice.optimal_k_and_bits(u, jnp.full(B, N, np.int32))
+        for b in range(B):
+            uu = rrice.zigzag(v[b])
+            k0 = rrice.optimal_k(uu)
+            bits0 = 32 * N if k0 == 31 else int(rrice.bit_lengths(uu, k0).sum())
+            assert (int(k[b]), int(bits[b])) == (k0, bits0)
