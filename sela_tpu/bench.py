@@ -74,13 +74,14 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
     pcm_bytes_per_chunk = chunk_frames * 2 * 2048 * 2  # int16 source bytes
 
     iir = "pallas" if jax.default_backend() == "tpu" else "scan"
+    fused = jax.default_backend() == "tpu"
 
     # All probes return ONLY a 4-byte scalar that data-depends on every
     # computed value: large jit outputs never cross the tunnel, and the
     # computation cannot be skipped or overlapped past the final fetch.
     @jax.jit
     def enc_probe(xc, nc):
-        e = encode_step.__wrapped__(xc, nc)
+        e = encode_step.__wrapped__(xc, nc, fused=fused)
         return (
             e["residues"].sum() + e["k_res"].sum() + e["nw_coeff"].sum()
             + e["sftype"].sum()
@@ -88,7 +89,7 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
 
     @jax.jit
     def roundtrip_probe(xc, nc):
-        e = encode_step.__wrapped__(xc, nc)
+        e = encode_step.__wrapped__(xc, nc, fused=fused)
         pcm = decode_step.__wrapped__(
             e["residues"], e["qcoeffs"], e["order"], e["sftype"], iir=iir
         )
@@ -117,7 +118,7 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
     # materialize one chunk's encode outputs as decode-probe inputs (warmup,
     # not timed — large outputs cross the tunnel slowly)
     t0 = time.perf_counter()
-    enc0 = encode_step(xs[0], nvs[0])
+    enc0 = encode_step(xs[0], nvs[0], fused=fused)
     dec_args = tuple(
         jax.device_put(np.asarray(enc0[k]))
         for k in ("residues", "qcoeffs", "order", "sftype")

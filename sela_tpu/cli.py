@@ -166,39 +166,55 @@ def cmd_info(args) -> int:
 
 
 def cmd_play(args) -> int:
-    """Decode and stream to the default audio device.
+    """Decode incrementally and stream to the default audio device.
 
-    Parity: upstream:src/player.cpp (PortAudio). No audio stack exists in
-    this environment; falls back to decoding + reporting, and supports
-    --wav-out to listen elsewhere.
+    Parity: upstream:src/player.cpp + C-lineage core/packetqueue.c. A
+    producer thread decodes frame chunks into a bounded PacketQueue
+    (sela_tpu.codec.stream.StreamingPlayer); the consumer feeds the sound
+    device. No audio stack exists in this image — without one, the stream is
+    consumed at full speed and optionally written via --wav-out.
     """
+    import numpy as np
+
+    from .codec.stream import StreamingPlayer
+
     with open(args.input, "rb") as f:
         buf = f.read()
-    from .codec.decoder import decode_sela
-
-    w = decode_sela(buf)
-    dur = w.n_samples / w.sample_rate
+    player = StreamingPlayer(buf, chunk_frames=args.chunk_frames)
+    h = player.header
+    scale = 1.0 / float(1 << (h.bits_per_sample - 1))
     try:
         import sounddevice as sd  # optional; absent in this image
-        import numpy as np
 
-        pcm = np.stack(w.channels, axis=1).astype(np.float32)
-        pcm /= float(1 << (w.bits_per_sample - 1))
-        sd.play(pcm, w.sample_rate, blocking=True)
-        print(f"played {args.input}: {dur:.2f}s")
-    except Exception:
+        stream = sd.OutputStream(
+            samplerate=h.sample_rate, channels=h.channels, dtype="float32"
+        )
+        n = 0
+        with stream:
+            for block in player:
+                stream.write(np.ascontiguousarray(block, np.float32) * scale)
+                n += len(block)
+        print(f"played {args.input}: {n / h.sample_rate:.2f}s")
+    except ImportError:
+        blocks = list(player)  # stream-consume (bounded memory)
+        n = sum(len(b) for b in blocks)
+        dur = n / h.sample_rate
         if args.wav_out:
-            from .ref.wav import write_wav
+            from .ref.wav import WavData, write_wav
 
-            write_wav(args.wav_out, w)
+            pcm = np.concatenate(blocks, axis=0)
+            write_wav(args.wav_out, WavData(
+                h.sample_rate, h.bits_per_sample,
+                [pcm[:, c].copy() for c in range(h.channels)],
+            ))
             print(
-                f"no audio device available; decoded {dur:.2f}s of audio to "
+                f"no audio device available; streamed {dur:.2f}s of audio to "
                 f"{args.wav_out}"
             )
         else:
             print(
-                f"no audio device available; decoded {dur:.2f}s "
-                f"({w.sample_rate} Hz, {w.n_channels} ch) — use --wav-out to save"
+                f"no audio device available; stream-decoded {dur:.2f}s "
+                f"({h.sample_rate} Hz, {h.channels} ch) — use --wav-out to save"
             )
     return 0
 

@@ -75,6 +75,11 @@ def main():
          (xb, c, ordr, nv)),
         ("rice_plan(res)", probe(rice.plan_blocks), (e, nv)),
         ("encode_step(all)", probe(lambda x, n: encode_step.__wrapped__(x, n)), (xd, nvd)),
+        ("encode_step(fus)", probe(lambda x, n: encode_step.__wrapped__(
+            x, n, fused=True)), (xd, nvd)),
+        ("fir_rice_kernel", probe(lambda xb, c, o, nv: __import__(
+            "sela_tpu.kernels.encode", fromlist=["fir_rice_pallas"]
+        ).fir_rice_pallas(xb, c, o, nv)), (xb, c, ordr, nv)),
         ("iir_pallas_fast", probe(lambda e, c: iir_synthesize_pallas(e, c, fast=True)),
          (e[: F * 2], c[: F * 2])),
         ("iir_pallas_gen", probe(lambda e, c: iir_synthesize_pallas(e, c, fast=False)),
