@@ -5,9 +5,11 @@ import sys
 
 if __name__ == "__main__":
     seconds = float(os.environ.get("SELA_BENCH_SECONDS", "300"))
-    chunk = int(os.environ.get("SELA_BENCH_CHUNK_FRAMES", "1024"))
+    chunk = int(os.environ.get("SELA_BENCH_CHUNK_FRAMES", "4096"))
     iters = int(os.environ.get("SELA_BENCH_ITERS", "5"))
+    n_chunks = int(os.environ.get("SELA_BENCH_CHUNKS", "8"))
     from sela_tpu.bench import run_bench
 
-    run_bench(seconds=seconds, chunk_frames=chunk, iters=iters)
+    run_bench(seconds=seconds, chunk_frames=chunk, iters=iters,
+              n_chunks=n_chunks)
     sys.exit(0)

@@ -40,7 +40,8 @@ def make_corpus(seconds: float, rate: int = 44100, seed: int = 0):
 
 
 def run_bench(seconds: float = 60.0, engine: str = "jax",
-              chunk_frames: int = 1024, iters: int = 5) -> dict:
+              chunk_frames: int = 4096, iters: int = 5,
+              n_chunks: int = 8) -> dict:
     """Timing methodology note: through the axon TPU tunnel,
     jax.block_until_ready() returns before the computation actually finishes
     (measured 59 "GB/s" for a 2048-step sequential scan — physically
@@ -63,8 +64,9 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
 
     left, right = make_corpus(seconds)
     x, n_valid = frame_batches([left, right])
-    F = x.shape[0]
-    F = max(chunk_frames, (F // chunk_frames) * chunk_frames)
+    # n_chunks dispatches per timed pass: the host->device dispatch + final
+    # sync round-trip amortizes over the pass instead of dominating it
+    F = chunk_frames * n_chunks
     reps = -(-F // x.shape[0])
     if reps > 1:
         x = np.concatenate([x] * reps)[:F]

@@ -52,15 +52,17 @@ def cmd_encode(args) -> int:
     m = _metrics_from(args)
     t0 = time.perf_counter()
     with profiler_trace(args.profile_trace):
+        tags = _parse_tag_args(args.tags or [])
         if args.engine == "ref":
             from .ref.codec import encode_wav
 
-            buf = encode_wav(w, profile=profile)
+            buf = encode_wav(w, profile=profile, tags=tags)
         else:
             from .codec.encoder import encode_wav
 
             buf = encode_wav(
-                w, profile=profile, chunk_frames=args.chunk_frames, metrics=m
+                w, profile=profile, chunk_frames=args.chunk_frames,
+                metrics=m, tags=tags,
             )
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
@@ -153,6 +155,7 @@ def cmd_info(args) -> int:
         orders += [sf.order for sf in sfs]
         if any(sf.sftype == 1 for sf in sfs):
             ms_frames += 1
+    tags = container.parse_trailer(buf, pos)
     dur = n_samples / h.sample_rate
     import numpy as np
 
@@ -162,6 +165,43 @@ def cmd_info(args) -> int:
         f"  mean LPC order {np.mean(orders):.1f}, mid/side frames "
         f"{ms_frames}/{h.num_frames}, {_human(len(buf))}"
     )
+    for k, v in tags.items():
+        print(f"  tag {k} = {v if isinstance(v, str) else f'<{len(v)} bytes>'}")
+    return 0
+
+
+def _parse_tag_args(pairs: list[str]) -> dict:
+    tags = {}
+    for kv in pairs:
+        if "=" not in kv:
+            raise ValueError(f"tag must be KEY=VALUE, got {kv!r}")
+        k, v = kv.split("=", 1)
+        tags[k] = v
+    return tags
+
+
+def cmd_tag(args) -> int:
+    """Read or edit the metadata trailer without re-encoding audio.
+
+    Capability parity: C-lineage core/apev2.c (sahaRatul/sela, path-level
+    cite — mount empty, SURVEY.md SS2 "APEv2 tags")."""
+    from .ref import container
+
+    with open(args.input, "rb") as f:
+        buf = f.read()
+    if args.set or args.clear:
+        tags = {} if args.clear else dict(container.read_tags(buf))
+        tags.update(_parse_tag_args(args.set or []))
+        out = container.replace_tags(buf, tags)
+        with open(args.output or args.input, "wb") as f:
+            f.write(out)
+        print(f"wrote {len(tags)} tag(s) to {args.output or args.input}")
+        return 0
+    tags = container.read_tags(buf)
+    if not tags:
+        print(f"{args.input}: no tags")
+    for k, v in tags.items():
+        print(f"{k} = {v if isinstance(v, str) else f'<{len(v)} bytes>'}")
     return 0
 
 
@@ -273,7 +313,8 @@ def cmd_encode_shard(args) -> int:
     if rank is None:  # fall back to jax.distributed topology
         rank, n_hosts = init_distributed()
     w = read_wav(args.input)
-    m = encode_shard(w, args.out_dir, rank, n_hosts)
+    m = encode_shard(w, args.out_dir, rank, n_hosts,
+                     chunk_frames=args.chunk_frames)
     print(
         f"shard {rank}/{n_hosts}: frames [{m['frame_lo']}, {m['frame_hi']}) "
         f"-> {_human(m['bytes'])} ({m['sha256'][:12]}…)"
@@ -346,6 +387,8 @@ def build_parser() -> argparse.ArgumentParser:
     enc = add("encode", cmd_encode, help="WAV -> .sela")
     enc.add_argument("input")
     enc.add_argument("output")
+    enc.add_argument("--tag", action="append", metavar="KEY=VALUE",
+                     dest="tags", help="attach a metadata tag (repeatable)")
     add_profile_flags(enc)
     dec = add("decode", cmd_decode, help=".sela -> WAV")
     dec.add_argument("input")
@@ -359,6 +402,14 @@ def build_parser() -> argparse.ArgumentParser:
     add_profile_flags(ver)
     inf = add("info", cmd_info, help="container info")
     inf.add_argument("input")
+    tag = add("tag", cmd_tag, help="read/edit metadata tags (no re-encode)")
+    tag.add_argument("input")
+    tag.add_argument("--set", action="append", metavar="KEY=VALUE",
+                     help="set a tag (repeatable)")
+    tag.add_argument("--clear", action="store_true",
+                     help="drop existing tags before applying --set")
+    tag.add_argument("--output", default=None,
+                     help="write result here instead of in place")
     ply = add("play", cmd_play, help="decode to audio device")
     ply.add_argument("input")
     ply.add_argument("--wav-out", default=None)
@@ -395,6 +446,14 @@ def main(argv: list[str] | None = None) -> int:
         from .utils.platform import force_cpu
 
         force_cpu()
+    import os
+
+    from .utils.platform import enable_compile_cache
+
+    enable_compile_cache(os.environ.get(
+        "SELA_CACHE_DIR",
+        os.path.expanduser("~/.cache/selax/jax"),
+    ))
     from .ref.container import ContainerError
     from .ref.wav import WavError
 

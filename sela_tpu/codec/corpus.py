@@ -112,8 +112,7 @@ def decode_files(bufs: list[bytes], chunk_frames: int = DEFAULT_CHUNK_FRAMES) ->
             subframes, ns, pos = container.parse_frame(buf, pos, header.channels)
             nv[f] = ns
             sfs.append(subframes)
-        if pos != len(buf):
-            raise container.ContainerError("trailing bytes after last frame")
+        container.parse_trailer(buf, pos)  # metadata passthrough; junk raises
         parsed.append((header, sfs, nv))
 
     groups: dict[tuple[int, bool], list[int]] = {}

@@ -2,22 +2,109 @@
 
 TPU-native analog of upstream:src/decoder.cpp (sela::Decoder::process,
 sahaRatul/sela, path-level cite — mount empty, SURVEY.md SS2): the container
-is parsed and Rice-unpacked on the host (native C++ fast path when built),
+is parsed and Rice-unpacked on the host (native C++ single-pass scanner +
+threaded bit unpacker when built, Python/numpy fallback otherwise),
 residues/coefficients are batched into dense [F, C, S] arrays, and the jit'd
 decode_step runs the integer Levinson + IIR synthesis + inverse mid/side for
-all frames at once on device.
+all frames at once on device. Device decode of chunk N overlaps host unpack
+of chunk N+1 (software pipeline).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
-from ..format import FRAME_SIZE, MAX_ORDER
+from ..format import FRAME_SIZE, MAX_ORDER, SYNC
 from ..ref import container
 from ..ref.wav import WavData
 from ..utils.bitpack import unpack_blocks
 from .pipeline import decode_step
 
 DEFAULT_CHUNK_FRAMES = 512
+PIPELINE = 4  # device-decode chunks in flight while the host unpacks ahead
+
+
+def _native():
+    if os.environ.get("SELA_NO_NATIVE"):
+        return None
+    try:
+        from ..native import bitio
+
+        return bitio if bitio.available() else None
+    except Exception:  # pragma: no cover
+        return None
+
+
+def _resolve_iir(iir: str | None, bits_per_sample: int) -> str:
+    if iir is not None:
+        return iir
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return "pallas" if bits_per_sample <= 24 else "pallas_generic"
+    return "scan"  # pallas interpret mode is slower than scan on CPU
+
+
+def _scan_python(buf: bytes, header):
+    """Python frame parse -> the same flat-array form as the native scanner."""
+    C = header.channels
+    F = header.num_frames
+    pos = container.HEADER_SIZE
+    n_samples = np.zeros(F, np.int32)
+    keys = ("channel", "sftype", "order", "k_coeff", "nw_coeff", "k_res", "nw_res")
+    sf = {k: np.zeros(F * C, np.int32) for k in keys}
+    coeff_parts = []
+    res_parts = []
+    s = 0
+    for f in range(F):
+        subframes, ns, pos = container.parse_frame(buf, pos, C)
+        n_samples[f] = ns
+        for x in subframes:
+            sf["channel"][s] = x.channel
+            sf["sftype"][s] = x.sftype
+            sf["order"][s] = x.order
+            sf["k_coeff"][s] = x.k_coeff
+            sf["nw_coeff"][s] = len(x.coeff_words)
+            sf["k_res"][s] = x.k_res
+            sf["nw_res"][s] = len(x.res_words)
+            coeff_parts.append(x.coeff_words)
+            res_parts.append(x.res_words)
+            s += 1
+    sf["n_samples"] = n_samples
+    sf["coeff_words"] = (
+        np.concatenate(coeff_parts) if coeff_parts else np.zeros(0, np.uint32)
+    )
+    sf["res_words"] = (
+        np.concatenate(res_parts) if res_parts else np.zeros(0, np.uint32)
+    )
+    return sf, pos
+
+
+def _scan(buf: bytes, header):
+    nat = _native()
+    if nat is not None:
+        try:
+            sf, end = nat.scan_frames(
+                buf, container.HEADER_SIZE, header.num_frames, header.channels,
+                SYNC, FRAME_SIZE,
+            )
+        except ValueError as e:
+            raise container.ContainerError(str(e)) from None
+    else:
+        sf, end = _scan_python(buf, header)
+    if np.any(sf["order"] > MAX_ORDER):
+        raise container.ContainerError("LPC order out of range")
+    if np.any(sf["channel"] >= header.channels):
+        raise container.ContainerError("subframe channel out of range")
+    container.parse_trailer(buf, end)  # metadata passthrough; junk raises
+    return sf
+
+
+def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a) + 1, np.int64)
+    np.cumsum(a.astype(np.int64), out=out[1:])
+    return out
 
 
 def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
@@ -33,64 +120,114 @@ def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
     header = container.parse_header(buf)
     C = header.channels
     F = header.num_frames
-
-    # parse all frames (host)
-    with m.stage("host_parse"):
-        pos = container.HEADER_SIZE
-        all_sf = []
-        n_valid = np.zeros(F, dtype=np.int32)
-        for f in range(F):
-            subframes, n_samples, pos = container.parse_frame(buf, pos, C)
-            n_valid[f] = n_samples
-            all_sf.append(subframes)
-        if pos != len(buf):
-            raise container.ContainerError("trailing bytes after last frame")
-
     S = FRAME_SIZE
-    chans_out: list[list[np.ndarray]] = [[] for _ in range(C)]
-    for start in range(0, F, chunk_frames):
+    kernel = _resolve_iir(iir, header.bits_per_sample)
+    nat = _native()
+
+    with m.stage("host_parse"):
+        sf = _scan(buf, header)
+    n_valid = sf["n_samples"]
+    res_counts = np.repeat(n_valid, C)  # residue count per subframe
+    cw_offs = _exclusive_cumsum(sf["nw_coeff"])
+    rw_offs = _exclusive_cumsum(sf["nw_res"])
+
+    def unpack_chunk(lo_sf: int, hi_sf: int):
+        """Unpack subframes [lo_sf, hi_sf) -> (qvals concat, evals concat)."""
+        nwc = sf["nw_coeff"][lo_sf:hi_sf]
+        nwr = sf["nw_res"][lo_sf:hi_sf]
+        order = sf["order"][lo_sf:hi_sf]
+        rcount = res_counts[lo_sf:hi_sf]
+        if nat is not None:
+            qvals = nat.unpack_blocks_flat(
+                sf["coeff_words"][cw_offs[lo_sf] : cw_offs[hi_sf]],
+                _exclusive_cumsum(nwc)[:-1], nwc, order,
+                sf["k_coeff"][lo_sf:hi_sf],
+            )
+            evals = nat.unpack_blocks_flat(
+                sf["res_words"][rw_offs[lo_sf] : rw_offs[hi_sf]],
+                _exclusive_cumsum(nwr)[:-1], nwr, rcount,
+                sf["k_res"][lo_sf:hi_sf],
+            )
+            return qvals, evals
+        blocks = []
+        for s in range(lo_sf, hi_sf):
+            blocks.append((
+                sf["coeff_words"][cw_offs[s] : cw_offs[s + 1]],
+                int(sf["order"][s]), int(sf["k_coeff"][s]),
+            ))
+            blocks.append((
+                sf["res_words"][rw_offs[s] : rw_offs[s + 1]],
+                int(res_counts[s]), int(sf["k_res"][s]),
+            ))
+        values = unpack_blocks(blocks)
+        qvals = (
+            np.concatenate(values[0::2]) if values else np.zeros(0, np.int32)
+        )
+        evals = (
+            np.concatenate(values[1::2]) if values else np.zeros(0, np.int32)
+        )
+        return qvals, evals
+
+    def dispatch(start: int):
+        """Host-unpack one chunk and async-dispatch its device decode."""
         stop = min(start + chunk_frames, F)
         fcount = stop - start
-        residues = np.zeros((chunk_frames, C, S), dtype=np.int32)
-        qcoeffs = np.zeros((chunk_frames, C, MAX_ORDER), dtype=np.int32)
-        orders = np.zeros((chunk_frames, C), dtype=np.int32)
-        sftype = np.zeros((chunk_frames, C), dtype=np.int32)
-
+        lo_sf, hi_sf = start * C, stop * C
+        n_sf = hi_sf - lo_sf
         with m.stage("host_unpack"):
-            blocks = []
-            meta = []
-            for f in range(start, stop):
-                for sf in all_sf[f]:
-                    blocks.append((sf.coeff_words, sf.order, sf.k_coeff))
-                    blocks.append((sf.res_words, sf.n_samples, sf.k_res))
-                    meta.append(
-                        (f - start, sf.channel, sf.order, sf.sftype, sf.n_samples)
-                    )
-            values = unpack_blocks(blocks)
-            for i, (fi, ch, order, t, ns) in enumerate(meta):
-                q = values[2 * i]
-                e = values[2 * i + 1]
-                if order > MAX_ORDER or ns > S:
-                    raise container.ContainerError("order/frame size out of range")
-                qcoeffs[fi, ch, :order] = q
-                residues[fi, ch, :ns] = e
-                orders[fi, ch] = order
-                sftype[fi, ch] = t
+            qvals, evals = unpack_chunk(lo_sf, hi_sf)
+            # vectorized scatter into dense padded rows (file order), then
+            # permute rows to (frame, channel) order via the channel bytes
+            order = sf["order"][lo_sf:hi_sf]
+            qrows = np.zeros((n_sf, MAX_ORDER), np.int32)
+            qrows[np.arange(MAX_ORDER)[None, :] < order[:, None]] = qvals
+            erows = np.zeros((n_sf, S), np.int32)
+            erows[np.arange(S)[None, :] < res_counts[lo_sf:hi_sf][:, None]] = evals
+            rows = (
+                np.repeat(np.arange(fcount, dtype=np.int64), C) * C
+                + sf["channel"][lo_sf:hi_sf]
+            )
+            residues = np.zeros((chunk_frames * C, S), np.int32)
+            qcoeffs = np.zeros((chunk_frames * C, MAX_ORDER), np.int32)
+            orders = np.zeros(chunk_frames * C, np.int32)
+            sftype = np.zeros(chunk_frames * C, np.int32)
+            residues[rows] = erows
+            qcoeffs[rows] = qrows
+            orders[rows] = order
+            sftype[rows] = sf["sftype"][lo_sf:hi_sf]
+            residues = residues.reshape(chunk_frames, C, S)
+            qcoeffs = qcoeffs.reshape(chunk_frames, C, MAX_ORDER)
+            orders = orders.reshape(chunk_frames, C)
+            sftype = sftype.reshape(chunk_frames, C)
+        # int16 wire format halves the device->host PCM transfer for
+        # <=16-bit streams (host upcasts back to int32)
+        out_dtype = "int16" if header.bits_per_sample <= 16 else "int32"
+        return (
+            decode_step(residues, qcoeffs, orders, sftype, iir=kernel,
+                        out_dtype=out_dtype),
+            start, fcount,
+        )
 
-        kernel = iir
-        if kernel is None:
-            import jax
+    chans_out: list[list[np.ndarray]] = [[] for _ in range(C)]
 
-            if jax.default_backend() == "tpu":
-                kernel = "pallas" if header.bits_per_sample <= 24 else "pallas_generic"
-            else:
-                kernel = "scan"  # pallas interpret mode is slower than scan on CPU
+    def collect(item):
+        xf, start, fcount = item
         with m.stage("device_decode"):
-            x = np.asarray(decode_step(residues, qcoeffs, orders, sftype, iir=kernel))
+            x = np.asarray(xf).astype(np.int32, copy=False)
         m.count("frames", fcount)
         for f in range(fcount):
             for c in range(C):
                 chans_out[c].append(x[f, c, : n_valid[start + f]])
+
+    # Software pipeline: host unpack of chunk N+1 overlaps device decode of
+    # chunk N (jax dispatch is async; the np.asarray in collect() syncs).
+    inflight = []
+    for start in range(0, F, chunk_frames):
+        inflight.append(dispatch(start))
+        if len(inflight) >= PIPELINE:
+            collect(inflight.pop(0))
+    for item in inflight:
+        collect(item)
 
     channels = [
         np.concatenate(parts) if parts else np.zeros(0, np.int32)

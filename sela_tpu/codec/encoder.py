@@ -41,11 +41,12 @@ def frame_batches(channels: list[np.ndarray], frame_size: int = FRAME_SIZE):
 
 def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
                chunk_frames: int = DEFAULT_CHUNK_FRAMES,
-               profile=None, metrics=None) -> bytes:
+               profile=None, metrics=None, tags: dict | None = None) -> bytes:
     """Encode WavData to .sela bytes using the JAX pipeline.
 
     profile: optional sela_tpu.config.BitstreamProfile (defaults = v1).
     metrics: optional sela_tpu.utils.metrics.Metrics sink for stage timings.
+    tags: optional metadata appended as a tags trailer (FORMAT.md §Tags).
     """
     if w.n_samples == 0:
         raise ValueError("empty audio")
@@ -63,35 +64,115 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
     from ..utils.metrics import NULL_METRICS
 
     m = metrics or NULL_METRICS
-    frames: list[bytes] = []
-    for start in range(0, F, chunk_frames):
+    fused = default_fused(allow_ms)
+
+    # int16 wire format halves the host->device PCM transfer for <=16-bit
+    # audio (encode_step upcasts on device)
+    wire_dtype = np.int16 if w.bits_per_sample <= 16 else np.int32
+
+    def dispatch(start: int):
+        """Async-dispatch one chunk's device work (jax returns futures)."""
         stop = min(start + chunk_frames, F)
         fcount = stop - start
         # pad chunk to the fixed size so jit compiles once
-        xc = np.zeros((chunk_frames, C, S), dtype=np.int32)
+        xc = np.zeros((chunk_frames, C, S), dtype=wire_dtype)
         nv = np.zeros(chunk_frames, dtype=np.int32)
         xc[:fcount] = x[start:stop]
         nv[:fcount] = n_valid[start:stop]
+        out = encode_step(
+            xc, nv, allow_ms=allow_ms, max_order=max_order,
+            rice_k_max=rice_k_max, fused=fused,
+        )
+        return out, nv, fcount
+
+    # Software pipeline (SURVEY.md §2 "PP analog"): keep up to PIPELINE
+    # chunks in flight on the device while the host Rice-packs completed
+    # ones — jax dispatch is async, so device compute overlaps host packing.
+    PIPELINE = 4
+    starts = list(range(0, F, chunk_frames))
+    frames: list[bytes] = []
+    inflight: list = []
+    for s in starts:
         with m.stage("device_encode"):
-            out = {
-                k: np.asarray(v)
-                for k, v in encode_step(
-                    xc, nv, allow_ms=allow_ms, max_order=max_order,
-                    rice_k_max=rice_k_max, fused=default_fused(allow_ms),
-                ).items()
-            }
+            inflight.append(dispatch(s))
+        if len(inflight) >= PIPELINE:
+            out, nv, fcount = inflight.pop(0)
+            with m.stage("device_fetch"):
+                out = {k: np.asarray(v) for k, v in out.items()}
+            with m.stage("host_pack"):
+                frames.extend(_pack_chunk(out, nv, fcount))
+            m.count("frames", fcount)
+    for out, nv, fcount in inflight:
+        with m.stage("device_fetch"):
+            out = {k: np.asarray(v) for k, v in out.items()}
         with m.stage("host_pack"):
             frames.extend(_pack_chunk(out, nv, fcount))
         m.count("frames", fcount)
     header = container.SelaHeader(w.sample_rate, w.bits_per_sample, C, F)
     buf = container.serialize_file(header, frames)
+    if tags:
+        buf += container.serialize_tags(tags)
     m.count("pcm_bytes", w.n_samples * w.n_channels * w.bits_per_sample // 8)
     m.count("coded_bytes", len(buf))
     return buf
 
 
+def _native():
+    import os
+
+    if os.environ.get("SELA_NO_NATIVE"):
+        return None
+    try:
+        from ..native import bitio
+
+        return bitio if bitio.available() else None
+    except Exception:  # pragma: no cover
+        return None
+
+
+def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a), np.int64)
+    np.cumsum(a[:-1].astype(np.int64), out=out[1:])
+    return out
+
+
+def _pack_chunk_native(nat, out: dict, n_valid: np.ndarray,
+                       fcount: int) -> list[bytes]:
+    """Vectorized pack + native emit: no per-frame Python objects at all."""
+    from ..format import SYNC
+
+    _, C, S = out["residues"].shape
+    nv = np.ascontiguousarray(n_valid[:fcount], np.int32)
+    order = np.ascontiguousarray(out["order"][:fcount].reshape(-1), np.int32)
+    k_coeff = np.ascontiguousarray(out["k_coeff"][:fcount].reshape(-1), np.int32)
+    k_res = np.ascontiguousarray(out["k_res"][:fcount].reshape(-1), np.int32)
+    sftype = np.ascontiguousarray(out["sftype"][:fcount].reshape(-1), np.int32)
+
+    res_counts = np.repeat(nv, C)
+    erows = out["residues"][:fcount].reshape(fcount * C, S)
+    evals = erows[np.arange(S)[None, :] < res_counts[:, None]]
+    res_words, res_wc = nat.pack_blocks_flat(
+        evals, _exclusive_cumsum(res_counts), res_counts, k_res)
+
+    qrows = out["qcoeffs"][:fcount].reshape(fcount * C, -1)
+    qvals = qrows[np.arange(qrows.shape[1])[None, :] < order[:, None]]
+    coeff_words, coeff_wc = nat.pack_blocks_flat(
+        qvals, _exclusive_cumsum(order), order, k_coeff)
+
+    blob = nat.emit_frames(
+        fcount, C, SYNC, nv,
+        np.tile(np.arange(C, dtype=np.int32), fcount), sftype, order,
+        k_coeff, coeff_wc.astype(np.int32), k_res, res_wc.astype(np.int32),
+        coeff_words, res_words,
+    )
+    return [blob]
+
+
 def _pack_chunk(out: dict, n_valid: np.ndarray, fcount: int) -> list[bytes]:
     """Rice-pack and serialize the frames of one device chunk (host side)."""
+    nat = _native()
+    if nat is not None:
+        return _pack_chunk_native(nat, out, n_valid, fcount)
     _, C, S = out["residues"].shape
     res_blocks = []
     coeff_blocks = []

@@ -80,13 +80,21 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
     if rice_k_max is None:
         rice_k_max = RICE_K_MAX
     F, C, S = x.shape
+    # accept narrow PCM dtypes (int16 halves the host->device transfer for
+    # <=16-bit audio); all codec math is int32
+    x = x.astype(jnp.int32)
     cand = make_candidates(x) if allow_ms else x  # [F, C2, S]
     C2 = cand.shape[1]
     B = F * C2
     xb = cand.reshape(B, S)
     nv = jnp.repeat(n_valid, C2).astype(jnp.int32)
 
-    order, q = analysis.analyze(xb, nv, max_order)
+    if fused:
+        from ..kernels.encode import autocorr_pallas
+
+        order, q = analysis.analyze(xb, nv, max_order, autocorr_pallas)
+    else:
+        order, q = analysis.analyze(xb, nv, max_order)
     g = coeffs.dequantize_reflection(q)
     c = coeffs.reflection_to_lpc(g, order)
     if fused and allow_ms:
@@ -143,14 +151,16 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
     )
 
 
-@partial(jax.jit, static_argnames=("iir",))
+@partial(jax.jit, static_argnames=("iir", "out_dtype"))
 def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
-                sftype: jax.Array, iir: str = "scan"):
-    """Inverse: residues [F, C, S] + plan -> PCM [F, C, S] int32.
+                sftype: jax.Array, iir: str = "scan",
+                out_dtype: str = "int32"):
+    """Inverse: residues [F, C, S] + plan -> PCM [F, C, S].
 
     iir: "scan" (lax.scan, any input), "pallas" (fast limb kernel, exact for
     PCM <= 24-bit), "pallas_generic" (hi/lo kernel, any input). All three are
-    bit-identical on valid streams within their domain.
+    bit-identical on valid streams within their domain. out_dtype="int16"
+    halves the device->host transfer when the stream is <=16-bit PCM.
     """
     F, C, S = residues.shape
     B = F * C
@@ -170,4 +180,4 @@ def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
         left, right = _inverse_mid_side(x[:, li], x[:, ri])
         x = x.at[:, li].set(jnp.where(is_ms, left, x[:, li]))
         x = x.at[:, ri].set(jnp.where(is_ms, right, x[:, ri]))
-    return x
+    return x.astype(jnp.int16) if out_dtype == "int16" else x

@@ -79,8 +79,8 @@ def decode_stream(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         for f in range(n):
             yield x[f, :, : n_valid[f]].T.copy()  # [n, C]
         done += n
-    if done == header.num_frames and pos != len(buf):
-        raise container.ContainerError("trailing bytes after last frame")
+    if done == header.num_frames:
+        container.parse_trailer(buf, pos)  # metadata passthrough; junk raises
 
 
 class PacketQueue:

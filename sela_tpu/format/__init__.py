@@ -13,6 +13,8 @@ available).
 
 MAGIC = b"SeLa"            # file magic, 4 ASCII bytes          (sela-recalled)
 SYNC = 0xAA55FF00          # per-frame sync word, u32 LE        (sela-recalled)
+TAG_MAGIC = b"SeTg"        # optional metadata trailer magic (APEv2 parity)
+TAG_MAX_BYTES = 1 << 24    # sanity cap on the tags block payload
 
 FRAME_SIZE = 2048          # samples per channel per frame      (sela-recalled)
 MAX_ORDER = 32             # max LPC order

@@ -155,6 +155,60 @@ def _fir_rice_tiles(x, c, nv2, interpret: bool):
     )(x, c, nv2)
 
 
+ROWS_AC = 256  # autocorr tile rows; live temps are ~3 [R, S] f32 arrays
+LAGS = MAX_ORDER + 1  # 33 lags, padded to 64 output columns
+AC_COLS = 64
+
+
+def _autocorr_kernel(x_ref, r_ref):
+    """One [R, S] tile -> [R, 64] f32 with r[:, lag] for lag 0..32.
+
+    Same math as ops.analysis.autocorr (f32, scaled by 1/32768; trailing
+    zero padding contributes nothing). Non-normative: analysis only picks
+    the emitted stream (FORMAT.md "Design invariant").
+    """
+    R, S = x_ref.shape
+    xf = x_ref[:, :].astype(jnp.float32) * (1.0 / 32768.0)
+    zcol = jnp.zeros((R, S), jnp.float32)
+    for lag in range(LAGS):
+        shifted = xf if lag == 0 else jnp.concatenate(
+            [xf[:, lag:], zcol[:, :lag]], axis=1
+        )
+        r_ref[:, lag : lag + 1] = jnp.sum(xf * shifted, axis=1, keepdims=True)
+    r_ref[:, LAGS:] = jnp.zeros((R, AC_COLS - LAGS), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _autocorr_tiles(x, interpret: bool):
+    B, S = x.shape
+    return pl.pallas_call(
+        _autocorr_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, AC_COLS), jnp.float32),
+        grid=(B // ROWS_AC,),
+        in_specs=[
+            pl.BlockSpec((ROWS_AC, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS_AC, AC_COLS), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(x)
+
+
+def autocorr_pallas(x: jax.Array, max_lag: int = MAX_ORDER,
+                    interpret: bool | None = None) -> jax.Array:
+    """Drop-in for ops.analysis.autocorr: [B, S] int32 -> [B, max_lag+1] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, S = x.shape
+    pad = (-B) % ROWS_AC
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    r = _autocorr_tiles(x, interpret)
+    return r[:B, : max_lag + 1]
+
+
 def fir_rice_pallas(x: jax.Array, coeffs: jax.Array, order: jax.Array,
                     n_valid: jax.Array, interpret: bool | None = None):
     """Fused FIR + Rice cost sums. Drop-in for

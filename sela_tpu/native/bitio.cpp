@@ -246,3 +246,127 @@ void rice_unpack_blocks(const uint32_t* words, const int64_t* word_offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Container scan/emit — host-side frame (de)serialization at memory speed.
+//
+// TPU-native framework analog of upstream:src/file/sela_file.cpp
+// (readFrames/writeToFile; sahaRatul/sela, path-level cite -- reference mount
+// empty, SURVEY.md SS2 "SELA container"). Python's per-frame struct loops are
+// the decode-side host bottleneck for hour-long files; these single-pass
+// scanners replace them. Layout per FORMAT.md:
+//   Frame    := u32 SYNC  u16 numSamples  SubFrame*channels
+//   SubFrame := u8 ch u8 type u8 order  u8 kC u16 nWC u32*nWC  u8 kR u32 nWR
+//               u32*nWR
+// All little-endian; word payloads may be byte-misaligned relative to the
+// buffer, so the scanner memcpy-copies them into aligned output arrays
+// (coeff words and residue words separately, each concatenated in subframe
+// order) ready for rice_unpack_blocks.
+
+namespace {
+inline uint16_t ld_u16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+inline uint32_t ld_u32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+}  // namespace
+
+extern "C" {
+
+// Returns the final byte offset (>= 0) on success, or -(offset+1) of the
+// first structural error. Output arrays are caller-allocated:
+//   n_samples[num_frames]; per subframe s (file order, num_frames*channels):
+//   sf_channel/sf_type/sf_order/sf_kc/sf_nwc/sf_kr/sf_nwr [F*C] int32;
+//   coeff_words / res_words sized >= (len - pos) / 4 words each.
+// coeff_total/res_total receive the written word counts.
+int64_t sela_scan_frames(const uint8_t* buf, int64_t len, int64_t pos,
+                         int32_t num_frames, int32_t channels, uint32_t sync,
+                         int32_t max_samples, int32_t* n_samples,
+                         int32_t* sf_channel, int32_t* sf_type,
+                         int32_t* sf_order, int32_t* sf_kc, int32_t* sf_nwc,
+                         int32_t* sf_kr, int32_t* sf_nwr,
+                         uint32_t* coeff_words, int64_t* coeff_total,
+                         uint32_t* res_words, int64_t* res_total) {
+  int64_t cw = 0, rw = 0;
+  int64_t s = 0;
+  for (int32_t f = 0; f < num_frames; ++f) {
+    if (pos + 6 > len) return -(pos + 1);
+    if (ld_u32(buf + pos) != sync) return -(pos + 1);
+    int32_t ns = ld_u16(buf + pos + 4);
+    if (ns <= 0 || ns > max_samples) return -(pos + 1);
+    n_samples[f] = ns;
+    pos += 6;
+    for (int32_t c = 0; c < channels; ++c, ++s) {
+      if (pos + 6 > len) return -(pos + 1);
+      sf_channel[s] = buf[pos];
+      sf_type[s] = buf[pos + 1];
+      sf_order[s] = buf[pos + 2];
+      sf_kc[s] = buf[pos + 3];
+      int64_t nwc = ld_u16(buf + pos + 4);
+      sf_nwc[s] = static_cast<int32_t>(nwc);
+      pos += 6;
+      if (pos + 4 * nwc > len) return -(pos + 1);
+      std::memcpy(coeff_words + cw, buf + pos, 4 * nwc);
+      cw += nwc;
+      pos += 4 * nwc;
+      if (pos + 5 > len) return -(pos + 1);
+      sf_kr[s] = buf[pos];
+      int64_t nwr = ld_u32(buf + pos + 1);
+      pos += 5;
+      if (nwr < 0 || pos + 4 * nwr > len) return -(pos + 1);
+      sf_nwr[s] = static_cast<int32_t>(nwr);
+      std::memcpy(res_words + rw, buf + pos, 4 * nwr);
+      rw += nwr;
+      pos += 4 * nwr;
+    }
+  }
+  *coeff_total = cw;
+  *res_total = rw;
+  return pos;
+}
+
+// Emit num_frames frames into out (caller-sized exactly; see Python side).
+// Subframe arrays are in emit order (frame-major, channel idx within frame).
+// Returns bytes written.
+int64_t sela_emit_frames(int32_t num_frames, int32_t channels, uint32_t sync,
+                         const int32_t* n_samples, const int32_t* sf_channel,
+                         const int32_t* sf_type, const int32_t* sf_order,
+                         const int32_t* sf_kc, const int32_t* sf_nwc,
+                         const int32_t* sf_kr, const int32_t* sf_nwr,
+                         const uint32_t* coeff_words, const uint32_t* res_words,
+                         uint8_t* out) {
+  int64_t pos = 0, cw = 0, rw = 0, s = 0;
+  for (int32_t f = 0; f < num_frames; ++f) {
+    std::memcpy(out + pos, &sync, 4);
+    uint16_t ns = static_cast<uint16_t>(n_samples[f]);
+    std::memcpy(out + pos + 4, &ns, 2);
+    pos += 6;
+    for (int32_t c = 0; c < channels; ++c, ++s) {
+      out[pos] = static_cast<uint8_t>(sf_channel[s]);
+      out[pos + 1] = static_cast<uint8_t>(sf_type[s]);
+      out[pos + 2] = static_cast<uint8_t>(sf_order[s]);
+      out[pos + 3] = static_cast<uint8_t>(sf_kc[s]);
+      uint16_t nwc = static_cast<uint16_t>(sf_nwc[s]);
+      std::memcpy(out + pos + 4, &nwc, 2);
+      pos += 6;
+      std::memcpy(out + pos, coeff_words + cw, 4ll * sf_nwc[s]);
+      cw += sf_nwc[s];
+      pos += 4ll * sf_nwc[s];
+      out[pos] = static_cast<uint8_t>(sf_kr[s]);
+      uint32_t nwr = static_cast<uint32_t>(sf_nwr[s]);
+      std::memcpy(out + pos + 1, &nwr, 4);
+      pos += 5;
+      std::memcpy(out + pos, res_words + rw, 4ll * sf_nwr[s]);
+      rw += sf_nwr[s];
+      pos += 4ll * sf_nwr[s];
+    }
+  }
+  return pos;
+}
+
+}  // extern "C"

@@ -36,6 +36,21 @@ if os.path.exists(_LIB_PATH):
         _lib.rice_unpack_blocks.argtypes = [
             _u32p, _i64p, _i32p, _i64p, _i32p, _i32p, ctypes.c_int64, _i32p,
         ]
+        _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        _lib.sela_scan_frames.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_uint32, ctypes.c_int32,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u32p, ctypes.POINTER(ctypes.c_int64),
+            _u32p, ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib.sela_scan_frames.restype = ctypes.c_int64
+        _lib.sela_emit_frames.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u32p, _u32p, _u8p,
+        ]
+        _lib.sela_emit_frames.restype = ctypes.c_int64
     except OSError:  # pragma: no cover
         _lib = None
 
@@ -122,3 +137,63 @@ def unpack_blocks(blocks: list[tuple[np.ndarray, int, int]]) -> list[np.ndarray]
         out.append(flat[pos : pos + c].copy())
         pos += c
     return out
+
+
+def scan_frames(buf: bytes, pos: int, num_frames: int, channels: int,
+                sync: int, max_samples: int):
+    """Single-pass native container scan (FORMAT.md frame layout).
+
+    Returns (fields dict, end_pos) or raises ValueError at the first
+    structural error. fields: n_samples [F]; per-subframe arrays [F*C] in
+    file order (channel, sftype, order, k_coeff, nw_coeff, k_res, nw_res);
+    coeff_words / res_words — aligned uint32 arrays concatenated in subframe
+    order, ready for unpack_blocks_flat.
+    """
+    F, C = num_frames, channels
+    b = np.frombuffer(buf, dtype=np.uint8)
+    n_samples = np.zeros(F, np.int32)
+    sf = {k: np.zeros(F * C, np.int32)
+          for k in ("channel", "sftype", "order", "k_coeff", "nw_coeff",
+                    "k_res", "nw_res")}
+    cap = max((len(buf) - pos) // 4 + 1, 1)
+    coeff_words = np.zeros(cap, np.uint32)
+    res_words = np.zeros(cap, np.uint32)
+    ct = ctypes.c_int64(0)
+    rt = ctypes.c_int64(0)
+    end = _lib.sela_scan_frames(
+        b, len(buf), pos, F, C, sync, max_samples,
+        n_samples, sf["channel"], sf["sftype"], sf["order"], sf["k_coeff"],
+        sf["nw_coeff"], sf["k_res"], sf["nw_res"],
+        coeff_words, ctypes.byref(ct), res_words, ctypes.byref(rt),
+    )
+    if end < 0:
+        raise ValueError(f"container structure error at byte {-end - 1}")
+    sf["n_samples"] = n_samples
+    sf["coeff_words"] = coeff_words[: ct.value].copy()
+    sf["res_words"] = res_words[: rt.value].copy()
+    return sf, int(end)
+
+
+def emit_frames(num_frames: int, channels: int, sync: int,
+                n_samples: np.ndarray, sf_channel: np.ndarray,
+                sf_type: np.ndarray, sf_order: np.ndarray,
+                sf_kc: np.ndarray, sf_nwc: np.ndarray, sf_kr: np.ndarray,
+                sf_nwr: np.ndarray, coeff_words: np.ndarray,
+                res_words: np.ndarray) -> bytes:
+    """Native frame serialization; exact inverse of scan_frames."""
+    a32 = lambda x: np.ascontiguousarray(x, dtype=np.int32)
+    total = int(
+        6 * num_frames + 11 * num_frames * channels
+        + 4 * (int(np.asarray(sf_nwc, np.int64).sum())
+               + int(np.asarray(sf_nwr, np.int64).sum()))
+    )
+    out = np.zeros(total, np.uint8)
+    n = _lib.sela_emit_frames(
+        num_frames, channels, sync, a32(n_samples), a32(sf_channel),
+        a32(sf_type), a32(sf_order), a32(sf_kc), a32(sf_nwc), a32(sf_kr),
+        a32(sf_nwr),
+        np.ascontiguousarray(coeff_words, np.uint32),
+        np.ascontiguousarray(res_words, np.uint32), out,
+    )
+    assert n == total, (n, total)
+    return out.tobytes()

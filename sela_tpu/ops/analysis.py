@@ -99,9 +99,14 @@ def quantize_reflection(gamma: jax.Array) -> jax.Array:
     return jnp.clip(q, Q_CLAMP_LO, Q_CLAMP_HI).astype(jnp.int32)
 
 
-def analyze(x: jax.Array, n_valid: jax.Array, max_order: int = MAX_ORDER):
-    """Full analysis: [B, N] int32, [B] counts -> (order [B], qcoeffs [B, MAX_ORDER])."""
-    r = autocorr(x)
+def analyze(x: jax.Array, n_valid: jax.Array, max_order: int = MAX_ORDER,
+            autocorr_impl=None):
+    """Full analysis: [B, N] int32, [B] counts -> (order [B], qcoeffs [B, MAX_ORDER]).
+
+    autocorr_impl: override for the autocorrelation (the Pallas kernel on
+    TPU); must return [B, MAX_ORDER+1] float32 like autocorr().
+    """
+    r = (autocorr_impl or autocorr)(x)
     gamma, err = levinson(r)
     order = select_order(err, n_valid, max_order)
     q = quantize_reflection(gamma)

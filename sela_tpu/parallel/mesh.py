@@ -45,26 +45,29 @@ def pad_frames_to_multiple(x: np.ndarray, n_valid: np.ndarray, multiple: int):
     return x, n_valid
 
 
-def sharded_encode_step(mesh: Mesh):
-    """encode_step pjit'd over the mesh: frames sharded on 'data'."""
+def sharded_encode_step(mesh: Mesh, **static):
+    """encode_step pjit'd over the mesh: frames sharded on 'data'.
+
+    static: encode_step's static knobs (allow_ms, max_order, rice_k_max,
+    fused) — pass fused=True on real TPU pods to use the Pallas kernels."""
     xs = NamedSharding(mesh, P("data"))
     return jax.jit(
-        _encode_step.__wrapped__,
+        lambda x, nv: _encode_step.__wrapped__(x, nv, **static),
         in_shardings=(xs, xs),
         out_shardings=NamedSharding(mesh, P("data")),
     )
 
 
-def sharded_decode_step(mesh: Mesh):
+def sharded_decode_step(mesh: Mesh, iir: str = "scan"):
     xs = NamedSharding(mesh, P("data"))
     return jax.jit(
-        _decode_step.__wrapped__,
+        lambda r, q, o, t: _decode_step.__wrapped__(r, q, o, t, iir=iir),
         in_shardings=(xs, xs, xs, xs),
         out_shardings=xs,
     )
 
 
-def sharded_codec_step(mesh: Mesh):
+def sharded_codec_step(mesh: Mesh, iir: str = "scan", **static):
     """Full encode->decode roundtrip step (the codec's 'training step'
     analog), pjit'd with frames sharded on 'data'. Returns PCM + a bit-exact
     roundtrip flag per frame — used by multi-chip dry runs and scaling tests.
@@ -72,9 +75,10 @@ def sharded_codec_step(mesh: Mesh):
     xs = NamedSharding(mesh, P("data"))
 
     def step(x, n_valid):
-        enc = _encode_step.__wrapped__(x, n_valid)
+        enc = _encode_step.__wrapped__(x, n_valid, **static)
         pcm = _decode_step.__wrapped__(
-            enc["residues"], enc["qcoeffs"], enc["order"], enc["sftype"]
+            enc["residues"], enc["qcoeffs"], enc["order"], enc["sftype"],
+            iir=iir,
         )
         S = x.shape[-1]
         valid = (

@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 
 import numpy as np
 
@@ -39,13 +40,19 @@ from ..ref.wav import WavData
 def init_distributed() -> tuple[int, int]:
     """Initialize jax.distributed from standard env vars if present.
 
-    Returns (process_index, process_count). On a single host without
-    coordinator env vars this is a no-op returning (0, 1).
+    JAX_COORDINATOR_ADDRESS is read by jax itself; JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID are forwarded explicitly (jax reads them from cluster
+    schedulers, not the generic environment). Returns (process_index,
+    process_count); a no-op (0, 1) without a coordinator address.
     """
     import jax
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kw)
         return jax.process_index(), jax.process_count()
     return 0, 1
 
@@ -88,6 +95,7 @@ def encode_shard(w: WavData, out_dir: str, rank: int, n_hosts: int,
     shard = WavData(
         w.sample_rate, w.bits_per_sample, [c[s_lo:s_hi] for c in w.channels]
     )
+    t0 = time.perf_counter()
     if s_hi > s_lo:
         buf = encode_wav(shard, frame_size=frame_size, chunk_frames=chunk_frames)
         frames_bytes = buf[container.HEADER_SIZE :]  # strip the shard header
@@ -95,6 +103,8 @@ def encode_shard(w: WavData, out_dir: str, rank: int, n_hosts: int,
     else:
         frames_bytes = b""
         n_frames = 0
+    wall_s = time.perf_counter() - t0
+    pcm_bytes = (s_hi - s_lo) * w.n_channels * w.bits_per_sample // 8
     with open(_part_path(out_dir, rank), "wb") as f:
         f.write(frames_bytes)
     manifest = {
@@ -109,12 +119,26 @@ def encode_shard(w: WavData, out_dir: str, rank: int, n_hosts: int,
         "bits_per_sample": w.bits_per_sample,
         "channels": w.n_channels,
         "n_samples": w.n_samples,
+        # observability (SURVEY.md §5): per-shard throughput for scaling-
+        # efficiency and load-balance accounting at merge time
+        "wall_s": round(wall_s, 6),
+        "pcm_bytes": pcm_bytes,
+        "mb_per_s": round(pcm_bytes / wall_s / 1e6, 3) if wall_s > 0 else 0.0,
     }
     with open(_manifest_path(out_dir, rank), "w") as f:
         json.dump(manifest, f)
     with open(_done_path(out_dir, rank), "w") as f:
         f.write("ok\n")
     return manifest
+
+
+def scaling_efficiency(single_host_wall_s: float, manifests: list[dict]) -> float:
+    """Classic strong-scaling efficiency T_1 / (N * T_N).
+
+    T_N is the slowest shard's wall time (the corpus completes when the last
+    host does). The BASELINE.md target is >= 0.80 on N >= 2 hosts."""
+    t_n = max(m["wall_s"] for m in manifests)
+    return single_host_wall_s / (len(manifests) * t_n) if t_n > 0 else 0.0
 
 
 def missing_shards(out_dir: str, n_hosts: int) -> list[int]:
@@ -152,4 +176,14 @@ def merge_shards(out_dir: str, n_hosts: int, out_path: str) -> dict:
             if hashlib.sha256(data).hexdigest() != m["sha256"]:
                 raise RuntimeError(f"shard {rank}: checksum mismatch — corrupt part")
             out.write(data)
-    return {"frames": total_frames, "hosts": n_hosts, "path": out_path}
+    info = {"frames": total_frames, "hosts": n_hosts, "path": out_path}
+    walls = [m.get("wall_s", 0.0) for m in manifests]
+    if all(t > 0 for t in walls):
+        total_pcm = sum(m.get("pcm_bytes", 0) for m in manifests)
+        # corpus completes when the slowest shard does; balance = 1.0 means
+        # perfectly even shard times (the scaling-efficiency denominator)
+        info["wall_max_s"] = round(max(walls), 6)
+        info["wall_mean_s"] = round(sum(walls) / len(walls), 6)
+        info["balance"] = round(info["wall_mean_s"] / info["wall_max_s"], 4)
+        info["aggregate_mb_per_s"] = round(total_pcm / max(walls) / 1e6, 3)
+    return info

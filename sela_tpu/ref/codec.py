@@ -17,8 +17,9 @@ from .wav import WavData
 
 
 def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
-               profile=None) -> bytes:
+               profile=None, tags: dict | None = None) -> bytes:
     """profile: optional sela_tpu.config.BitstreamProfile (defaults = v1).
+    tags: optional metadata dict appended as a tags trailer (FORMAT.md §Tags).
 
     Mid/side is disabled for 32-bit PCM regardless of profile (FORMAT.md:
     "For 32-bit PCM the encoder MUST use type 0 only" — the side channel
@@ -44,7 +45,10 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
     header = container.SelaHeader(
         w.sample_rate, w.bits_per_sample, w.n_channels, len(frames)
     )
-    return container.serialize_file(header, frames)
+    buf = container.serialize_file(header, frames)
+    if tags:
+        buf += container.serialize_tags(tags)
+    return buf
 
 
 def decode_sela(buf: bytes) -> WavData:
@@ -54,8 +58,7 @@ def decode_sela(buf: bytes) -> WavData:
     for _ in range(header.num_frames):
         subframes, n_samples, pos = container.parse_frame(buf, pos, header.channels)
         chunks.append(frame.decode_frame(subframes, header.channels))
-    if pos != len(buf):
-        raise container.ContainerError("trailing bytes after last frame")
+    container.parse_trailer(buf, pos)  # metadata passthrough; junk raises
     channels = [
         np.concatenate([c[ch] for c in chunks]) if chunks else np.zeros(0, np.int32)
         for ch in range(header.channels)

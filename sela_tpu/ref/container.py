@@ -10,7 +10,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..format import MAGIC, MAX_FRAME_SAMPLES, SYNC
+from ..format import MAGIC, MAX_FRAME_SAMPLES, SYNC, TAG_MAGIC, TAG_MAX_BYTES
 from .frame import SubFrame
 
 
@@ -82,6 +82,92 @@ def parse_subframe(buf: bytes, pos: int, n_samples: int) -> tuple[SubFrame, int]
     rw = np.frombuffer(buf, dtype="<u4", count=nwr, offset=pos).astype(np.uint32)
     pos += 4 * nwr
     return SubFrame(ch, sftype, order, k_c, cw, k_r, rw, n_samples), pos
+
+
+def serialize_tags(tags: dict) -> bytes:
+    """Optional metadata trailer (APEv2-capability parity — FORMAT.md §Tags).
+
+    Keys are str (UTF-8); values str or bytes. Placed after the last frame:
+    TAG_MAGIC, u32 payload bytes, then per item u16 keyLen, u32 valLen,
+    key, value.
+    """
+    items = []
+    for k, v in tags.items():
+        kb = k.encode("utf-8")
+        vb = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        if len(kb) > 0xFFFF:
+            raise ContainerError(f"tag key too long: {len(kb)}")
+        items.append(struct.pack("<HI", len(kb), len(vb)) + kb + vb)
+    payload = b"".join(items)
+    if len(payload) > TAG_MAX_BYTES:
+        raise ContainerError(f"tags block too large: {len(payload)}")
+    return TAG_MAGIC + struct.pack("<I", len(payload)) + payload
+
+
+def parse_tags(buf: bytes, pos: int) -> tuple[dict, int]:
+    """Parse a tags trailer at pos; returns (tags, new_pos)."""
+    if pos + 8 > len(buf) or buf[pos : pos + 4] != TAG_MAGIC:
+        raise ContainerError("bad tags trailer magic")
+    (nbytes,) = struct.unpack_from("<I", buf, pos + 4)
+    pos += 8
+    if nbytes > TAG_MAX_BYTES or pos + nbytes > len(buf):
+        raise ContainerError("truncated tags trailer")
+    end = pos + nbytes
+    tags: dict = {}
+    while pos < end:
+        if pos + 6 > end:
+            raise ContainerError("truncated tag item header")
+        klen, vlen = struct.unpack_from("<HI", buf, pos)
+        pos += 6
+        if pos + klen + vlen > end:
+            raise ContainerError("truncated tag item")
+        try:
+            key = buf[pos : pos + klen].decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            raise ContainerError("malformed tag key (not UTF-8)") from None
+        pos += klen
+        val = bytes(buf[pos : pos + vlen])
+        pos += vlen
+        try:
+            tags[key] = val.decode("utf-8")
+        except UnicodeDecodeError:
+            tags[key] = val
+    return tags, end
+
+
+def parse_trailer(buf: bytes, pos: int) -> dict:
+    """After the last frame: nothing, or one tags block. Junk raises."""
+    if pos == len(buf):
+        return {}
+    tags, end = parse_tags(buf, pos)
+    if end != len(buf):
+        raise ContainerError("trailing bytes after tags trailer")
+    return tags
+
+
+def frames_end(buf: bytes) -> int:
+    """Offset just past the last frame (start of the optional tags trailer)."""
+    h = parse_header(buf)
+    pos = HEADER_SIZE
+    for _ in range(h.num_frames):
+        _, _, pos = parse_frame(buf, pos, h.channels)
+    return pos
+
+
+def read_tags(buf: bytes) -> dict:
+    """Metadata from a .sela buffer ({} when absent)."""
+    return parse_trailer(buf, frames_end(buf))
+
+
+def replace_tags(buf: bytes, tags: dict | None) -> bytes:
+    """New buffer with the tags trailer replaced (removed if tags is falsy).
+
+    The audio payload is untouched — tag editing never re-encodes
+    (capability parity with the C lineage's core/apev2.c, SURVEY.md §2)."""
+    end = frames_end(buf)
+    parse_trailer(buf, end)  # validate the existing trailer, if any
+    base = bytes(buf[:end])
+    return base + (serialize_tags(tags) if tags else b"")
 
 
 def parse_frame(buf: bytes, pos: int, nch: int) -> tuple[list[SubFrame], int, int]:

@@ -71,6 +71,14 @@ def encode(values: np.ndarray, k: int | None = None,
     lens = bit_lengths(u, k)
     offs = np.concatenate([[0], np.cumsum(lens)])
     total = int(offs[-1])
+    if total > (1 << 28):
+        # only reachable by FORCING k far below optimal (optimal-k planning
+        # escapes to verbatim at 32 bits/value); the difference-array packer
+        # below allocates O(total bits), so refuse instead of swapping
+        raise ValueError(
+            f"forced k={k} yields {total} bits for {n} values — "
+            "use optimal k (escape caps the stream at 32 bits/value)"
+        )
     nbits_padded = -(-total // 32) * 32
     bits = np.zeros(nbits_padded, dtype=np.uint8)
 
@@ -122,19 +130,28 @@ def decode(words: np.ndarray, count: int, k: int) -> np.ndarray:
     zero_pos = np.flatnonzero(bits == 0)
     u = np.zeros(count, dtype=np.uint64)
     pos = 0
-    zi = 0
     shifts = np.uint64(k - 1) - np.arange(k, dtype=np.uint64) if k else None
+    nbits = len(bits)
     for i in range(count):
-        # first zero bit at/after pos terminates the unary run
+        # first zero bit at/after pos terminates the unary run; a corrupted/
+        # truncated stream may have none left — treat the stream end as the
+        # terminator and pad missing remainder bits with zeros (same
+        # semantics as the native BitReader: garbage in, bounded garbage out,
+        # never an out-of-bounds access)
         zi = np.searchsorted(zero_pos, pos, side="left")
-        stop = int(zero_pos[zi])
-        q = stop - pos
+        stop = int(zero_pos[zi]) if zi < len(zero_pos) else nbits
+        q = max(stop - pos, 0)
         if k > 0:
             rem_bits = bits[stop + 1 : stop + 1 + k].astype(np.uint64)
+            if len(rem_bits) < k:
+                rem_bits = np.concatenate(
+                    [rem_bits, np.zeros(k - len(rem_bits), np.uint64)]
+                )
             rem = int((rem_bits << shifts).sum())
         else:
             rem = 0
-        u[i] = (np.uint64(q) << np.uint64(k)) | np.uint64(rem)
+        # uint32 wrap-around exactly like the native packer's 32-bit math
+        u[i] = ((q << k) | rem) & U32
         pos = stop + 1 + k
     return unzigzag(u)
 

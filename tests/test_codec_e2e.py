@@ -67,3 +67,36 @@ def test_jax_24bit_hires(rng, signal_factory):
     out = jdec.decode_sela(buf, chunk_frames=CHUNK)
     for a, b in zip(out.channels, w.channels):
         np.testing.assert_array_equal(a, b)
+
+
+def test_wire_dtype_parity(rng, signal_factory):
+    """int16 H2D/D2H wire format (bps<=16) produces identical bytes and PCM
+    to the int32 path (24-bit input drives the int32 wire)."""
+    import numpy as np
+
+    from sela_tpu.codec.decoder import decode_sela as jdec
+    from sela_tpu.codec.encoder import encode_wav as jenc
+    from sela_tpu.codec.pipeline import encode_step
+    from sela_tpu.ref.wav import WavData
+
+    n = 2048 + 70
+    w16 = WavData(44100, 16, [signal_factory(rng, n, kind="ar")])
+    buf16 = jenc(w16, chunk_frames=8)  # int16 wire
+    # same PCM through the int32 wire must give identical bytes
+    x = np.zeros((8, 1, 2048), np.int32)
+    x[0, 0, :] = w16.channels[0][:2048]
+    x[1, 0, : n - 2048] = w16.channels[0][2048:]
+    out16 = {k: np.asarray(v) for k, v in encode_step(
+        x.astype(np.int16), np.array([2048, n - 2048] + [0] * 6, np.int32)
+    ).items()}
+    out32 = {k: np.asarray(v) for k, v in encode_step(
+        x, np.array([2048, n - 2048] + [0] * 6, np.int32)).items()}
+    for key in out32:
+        np.testing.assert_array_equal(out16[key], out32[key], err_msg=key)
+    got = jdec(buf16, chunk_frames=8)  # int16 D2H wire
+    np.testing.assert_array_equal(got.channels[0], w16.channels[0])
+
+    w24 = WavData(96000, 24, [signal_factory(rng, n, amp=2**22, kind="noise")])
+    buf24 = jenc(w24, chunk_frames=8)
+    got24 = jdec(buf24, chunk_frames=8)
+    np.testing.assert_array_equal(got24.channels[0], w24.channels[0])

@@ -147,3 +147,18 @@ def test_encode_step_fused_matches_unfused(rng, signal_factory):
     for key in a:
         np.testing.assert_array_equal(
             np.asarray(a[key]), np.asarray(b[key]), err_msg=key)
+
+
+def test_autocorr_pallas_matches_jnp(rng, signal_factory):
+    """Interpret-mode autocorr kernel vs jnp — identical reduction per row
+    on CPU; analysis is non-normative so TPU-vs-CPU float drift is fine."""
+    from sela_tpu.kernels.encode import autocorr_pallas
+    from sela_tpu.ops import analysis
+
+    B, N = 5, 2048
+    kinds = ["ar", "tone", "noise", "silence", "dc"]
+    x = np.stack(
+        [signal_factory(rng, N, kind=k) for k in kinds]).astype(np.int32)
+    want = np.asarray(jax.jit(analysis.autocorr)(jnp.asarray(x)))
+    got = np.asarray(autocorr_pallas(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

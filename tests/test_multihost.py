@@ -73,3 +73,25 @@ def test_more_hosts_than_frames(tmp_path, rng, signal_factory):
         multihost.encode_shard(w, str(tmp_path), rank, 4, chunk_frames=CHUNK)
     multihost.merge_shards(str(tmp_path), 4, str(tmp_path / "x.sela"))
     assert open(tmp_path / "x.sela", "rb").read() == encode_wav(w, chunk_frames=CHUNK)
+
+
+def test_manifest_throughput_counters(tmp_path, rng, signal_factory):
+    """Shard manifests carry wall/throughput counters; merge aggregates them
+    (SURVEY.md §5 metrics; BASELINE.md scaling-efficiency accounting)."""
+    import json
+
+    w = make_long_wav(rng, signal_factory, n=2048 * 4)
+    for rank in range(2):
+        m = multihost.encode_shard(w, str(tmp_path), rank, 2, chunk_frames=CHUNK)
+        assert m["wall_s"] > 0
+        assert m["pcm_bytes"] == 2048 * 2 * 2 * 2
+        assert m["mb_per_s"] > 0
+    info = multihost.merge_shards(str(tmp_path), 2, str(tmp_path / "m.sela"))
+    assert 0 < info["balance"] <= 1.0
+    assert info["aggregate_mb_per_s"] > 0
+    assert info["wall_max_s"] >= info["wall_mean_s"]
+    manifests = [
+        json.load(open(tmp_path / f"part-{r:04d}.manifest.json")) for r in (0, 1)
+    ]
+    eff = multihost.scaling_efficiency(2 * info["wall_mean_s"], manifests)
+    assert eff > 0

@@ -76,3 +76,55 @@ def test_bitpack_dispatcher_uses_native(rng):
     for (v, k), w in zip(blocks, via_dispatch):
         _, w_ref = ref_rice.encode(v, k)
         np.testing.assert_array_equal(w, w_ref)
+
+
+def test_native_scan_emit_roundtrip(rng, signal_factory, monkeypatch):
+    """Native container scan/emit path == Python fallback, byte for byte,
+    and scan(emit(x)) is the identity on the planning arrays."""
+    import pytest
+
+    from sela_tpu.codec.decoder import decode_sela
+    from sela_tpu.codec.encoder import encode_wav
+    from sela_tpu.native import bitio
+    from sela_tpu.ref.wav import WavData
+
+    if not bitio.available():
+        pytest.skip("native library not built")
+
+    n = 2048 * 2 + 333
+    w = WavData(44100, 16, [
+        signal_factory(rng, n, kind="ar"), signal_factory(rng, n, kind="noise"),
+    ])
+    native_buf = encode_wav(w, chunk_frames=8)
+    monkeypatch.setenv("SELA_NO_NATIVE", "1")
+    python_buf = encode_wav(w, chunk_frames=8)
+    assert native_buf == python_buf
+
+    out_py = decode_sela(native_buf, chunk_frames=8)
+    monkeypatch.delenv("SELA_NO_NATIVE")
+    out_nat = decode_sela(native_buf, chunk_frames=8)
+    for a, b, c in zip(out_nat.channels, out_py.channels, w.channels):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
+
+def test_native_scan_rejects_garbage(rng, signal_factory):
+    import pytest
+
+    from sela_tpu.codec.decoder import decode_sela
+    from sela_tpu.codec.encoder import encode_wav
+    from sela_tpu.native import bitio
+    from sela_tpu.ref.container import ContainerError
+    from sela_tpu.ref.wav import WavData
+
+    if not bitio.available():
+        pytest.skip("native library not built")
+    w = WavData(44100, 16, [signal_factory(rng, 3000, kind="ar")])
+    buf = bytearray(encode_wav(w, chunk_frames=8))
+    for mutate in (
+        lambda b: b[: len(b) // 2],                      # truncation
+        lambda b: b[:15] + b"\x00\x00\x00\x00" + b[19:],  # dead sync word
+        lambda b: b + b"garbage",                         # trailing junk
+    ):
+        with pytest.raises(ContainerError):
+            decode_sela(bytes(mutate(bytes(buf))), chunk_frames=8)

@@ -1,0 +1,53 @@
+"""Multi-process shard-encode worker (spawned by tests/test_distributed.py).
+
+One real OS process per "host": initializes jax.distributed from env vars
+(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — the standard
+cluster bootstrap, SURVEY.md §5 "Distributed communication backend"), then
+encodes this rank's frame range of the input WAV and writes its shard part +
+manifest + done marker. Exercises the REAL process-separation path that
+in-process tests cannot: separate jax runtimes, coordination-service
+handshake, filesystem-only cross-host communication.
+
+Usage: python tools/shard_worker.py <in.wav> <out_dir> [--slow-ms N]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jax._src import xla_bridge  # noqa: E402
+
+xla_bridge._backend_factories.pop("axon", None)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main() -> int:
+    wav_path, out_dir = sys.argv[1], sys.argv[2]
+    slow_ms = 0
+    if "--slow-ms" in sys.argv:
+        slow_ms = int(sys.argv[sys.argv.index("--slow-ms") + 1])
+
+    from sela_tpu.parallel.multihost import encode_shard, init_distributed
+    from sela_tpu.ref.wav import read_wav
+
+    rank, n_hosts = init_distributed()
+    assert n_hosts == int(os.environ["JAX_NUM_PROCESSES"])
+    w = read_wav(wav_path)
+    if slow_ms:
+        # deterministic window for the fault-injection test to kill us in
+        time.sleep(slow_ms / 1000.0)
+    m = encode_shard(w, out_dir, rank, n_hosts, chunk_frames=8)
+    print(f"rank {rank}/{n_hosts}: frames [{m['frame_lo']}, {m['frame_hi']}) "
+          f"{m['bytes']}B {m['sha256'][:8]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
