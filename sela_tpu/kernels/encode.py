@@ -29,12 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..format import MAX_ORDER, REF_Q
 from ..ops import i64
 
+import os
+
 P = MAX_ORDER
 # Rows per grid cell. The unrolled tap/k loops keep ~430 KB of VMEM
 # temporaries alive PER ROW (measured via Mosaic's scoped-vmem accounting);
 # 64 rows ~ 28 MB, within the raised 100 MB scoped limit below and the best
-# throughput of the swept sizes.
-ROWS = 64
+# throughput of the swept sizes (tools/sweep_kernels.py).
+ROWS = int(os.environ.get("SELA_FIR_ROWS", "64"))
 VMEM_LIMIT = 100 * 1024 * 1024
 KSUMS = 32  # k = 0..30 used; padded to 32 columns
 
@@ -155,7 +157,7 @@ def _fir_rice_tiles(x, c, nv2, interpret: bool):
     )(x, c, nv2)
 
 
-ROWS_AC = 256  # autocorr tile rows; live temps are ~3 [R, S] f32 arrays
+ROWS_AC = int(os.environ.get("SELA_AC_ROWS", "256"))  # autocorr tile rows
 LAGS = MAX_ORDER + 1  # 33 lags, padded to 64 output columns
 AC_COLS = 64
 
