@@ -1,11 +1,18 @@
-"""Throughput benchmark: encode+decode GB/s per chip on a CD-audio corpus.
+"""Throughput benchmark: device pipeline AND end-to-end codec GB/s per chip.
 
-Protocol (BASELINE.json): synthetic stereo 16-bit 44.1 kHz music-like corpus,
-framed into [F, 2, 2048] chunks; the jit'd device pipeline (encode_step then
-decode_step) is timed after a compile warmup. The headline metric is
-aggregate PCM bytes processed (encode pass + decode pass) divided by wall
-time, per chip. Baseline denominator: the north-star target of 10 GB/s
-aggregate on a v5p-16 = 0.625 GB/s/chip.
+Protocol (BASELINE.json, VERDICT r1 item 1): the headline metric is the
+END-TO-END aggregate — WAV PCM bytes -> `.sela` container bytes (encode) and
+container -> bit-exact PCM (decode), including host Rice packing, container
+emit/scan, and the software pipeline — because the north star ("aggregate
+encode+decode throughput >= 10 GB/s on v5p-16" = 0.625 GB/s/chip) is about
+the codec, not the kernels. The device-only pipeline numbers (r1's headline)
+are kept in `detail` for kernel-level tracking, along with BASELINE configs:
+  #2  stereo CD 16-bit/44.1k         (e2e + device pipeline)
+  #3  64 heterogeneous files, one chip (codec.corpus batch path)
+  #4  24-bit/96k hi-res              (limb kernels' full claimed domain)
+  +   32-bit PCM                     (pallas_generic kernel domain)
+Every configuration asserts a bit-exact round trip on the bench device
+before its numbers are reported.
 
 Only the final JSON line goes to stdout; diagnostics go to stderr.
 """
@@ -18,8 +25,9 @@ import time
 import numpy as np
 
 
-def make_corpus(seconds: float, rate: int = 44100, seed: int = 0):
-    """Music-like stereo int16 PCM: decaying chords + pink-ish noise floor."""
+def make_corpus(seconds: float, rate: int = 44100, seed: int = 0,
+                bits: int = 16):
+    """Music-like stereo int PCM: decaying chords + pink-ish noise floor."""
     n = int(seconds * rate)
     rng = np.random.default_rng(seed)
     t = np.arange(n) / rate
@@ -31,18 +39,116 @@ def make_corpus(seconds: float, rate: int = 44100, seed: int = 0):
         sig += a * np.sin(phase) * env
     noise = rng.normal(0, 0.004, n)
     noise = np.cumsum(noise) * 0.15 + noise  # crude 1/f-ish floor
-    left = np.clip((sig + noise) * 18000, -32767, 32767)
-    right = np.clip((sig * 0.92 + np.roll(noise, 13)) * 18000, -32767, 32767)
+    amp = (1 << (bits - 1)) * 0.55
+    lim = (1 << (bits - 1)) - 1
+    left = np.clip((sig + noise) * amp, -lim, lim)
+    right = np.clip((sig * 0.92 + np.roll(noise, 13)) * amp, -lim, lim)
     return (
-        np.round(left).astype(np.int32),
-        np.round(right).astype(np.int32),
+        np.round(left).astype(np.int64).astype(np.int32),
+        np.round(right).astype(np.int64).astype(np.int32),
     )
 
 
-def run_bench(seconds: float = 60.0, engine: str = "jax",
-              chunk_frames: int = 4096, iters: int = 5,
-              n_chunks: int = 8) -> dict:
-    """Timing methodology note: through the axon TPU tunnel,
+def _timed_min(fn, iters: int):
+    best = float("inf")
+    out = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def _assert_equal_wav(w, out, label: str):
+    assert out.sample_rate == w.sample_rate, label
+    assert out.bits_per_sample == w.bits_per_sample, label
+    for a, b in zip(out.channels, w.channels):
+        np.testing.assert_array_equal(a, b, err_msg=label)
+
+
+def bench_e2e(w, iters: int = 3, label: str = "e2e") -> dict:
+    """Full-codec timing: WavData -> container bytes -> WavData, host included.
+
+    Timing is host-wall by construction (the container bytes / PCM arrays
+    materialize on the host each iteration — no async-dispatch escape, unlike
+    block_until_ready through the axon tunnel).
+    """
+    from .codec.decoder import decode_sela
+    from .codec.encoder import encode_wav
+
+    pcm_bytes = w.n_samples * w.n_channels * w.bits_per_sample // 8
+
+    buf = encode_wav(w)  # warmup/compile
+    t_enc, buf = _timed_min(lambda: encode_wav(w), iters)
+    out = decode_sela(buf)  # warmup/compile
+    t_dec, out = _timed_min(lambda: decode_sela(buf), iters)
+    _assert_equal_wav(w, out, label)
+
+    enc = pcm_bytes / t_enc / 1e9
+    dec = pcm_bytes / t_dec / 1e9
+    agg = 2 * pcm_bytes / (t_enc + t_dec) / 1e9
+    ratio = len(buf) / pcm_bytes
+    print(f"[bench] {label}: encode {enc:.3f} GB/s, decode {dec:.3f} GB/s, "
+          f"aggregate {agg:.3f} GB/s, ratio {ratio:.4f} "
+          f"({pcm_bytes/1e6:.0f} MB PCM)", file=sys.stderr)
+    return {
+        "encode_gbps": round(enc, 4),
+        "decode_gbps": round(dec, 4),
+        "aggregate_gbps": round(agg, 4),
+        "compression_ratio": round(ratio, 4),
+        "pcm_mb": round(pcm_bytes / 1e6, 1),
+        "bit_exact": True,
+    }
+
+
+def bench_batch64(seconds_total: float = 64.0, iters: int = 2) -> dict:
+    """BASELINE config #3: 64 heterogeneous files, one chip, batch codec."""
+    from .codec.corpus import decode_files, encode_files
+    from .ref.wav import WavData
+
+    rng = np.random.default_rng(11)
+    wavs = []
+    for i in range(64):
+        secs = float(rng.uniform(0.3, 2.0))
+        rate = int(rng.choice([22050, 44100, 48000]))
+        bits = int(rng.choice([16, 16, 24]))
+        nch = int(rng.choice([1, 2]))
+        left, right = make_corpus(secs, rate=rate, seed=100 + i, bits=bits)
+        chans = [left] if nch == 1 else [left, right]
+        wavs.append(WavData(rate, bits, chans))
+    pcm_bytes = sum(
+        w.n_samples * w.n_channels * w.bits_per_sample // 8 for w in wavs
+    )
+
+    bufs = encode_files(wavs)  # warmup/compile
+    t_enc, bufs = _timed_min(lambda: encode_files(wavs), iters)
+    outs = decode_files(bufs)  # warmup/compile
+    t_dec, outs = _timed_min(lambda: decode_files(bufs), iters)
+    for w, out in zip(wavs, outs):
+        _assert_equal_wav(w, out, "batch64")
+
+    enc = pcm_bytes / t_enc / 1e9
+    dec = pcm_bytes / t_dec / 1e9
+    ratio = sum(len(b) for b in bufs) / pcm_bytes
+    print(f"[bench] batch64: encode {enc:.3f} GB/s, decode {dec:.3f} GB/s, "
+          f"ratio {ratio:.4f} ({pcm_bytes/1e6:.0f} MB PCM, 64 files)",
+          file=sys.stderr)
+    return {
+        "encode_gbps": round(enc, 4),
+        "decode_gbps": round(dec, 4),
+        "aggregate_gbps": round(2 * pcm_bytes / (t_enc + t_dec) / 1e9, 4),
+        "compression_ratio": round(ratio, 4),
+        "pcm_mb": round(pcm_bytes / 1e6, 1),
+        "n_files": 64,
+        "bit_exact": True,
+    }
+
+
+def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
+                          n_chunks: int) -> dict:
+    """Device-only pipeline numbers (r1 headline, kept for kernel tracking).
+
+    Timing methodology note: through the axon TPU tunnel,
     jax.block_until_ready() returns before the computation actually finishes
     (measured 59 "GB/s" for a 2048-step sequential scan — physically
     impossible). Every timed iteration therefore ends in a 4-byte
@@ -55,12 +161,6 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
 
     from .codec.encoder import frame_batches
     from .codec.pipeline import decode_step, encode_step
-    from .utils.platform import enable_compile_cache
-
-    enable_compile_cache()
-
-    dev = jax.devices()[0]
-    print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
     left, right = make_corpus(seconds)
     x, n_valid = frame_batches([left, right])
@@ -110,7 +210,8 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
 
     t0 = time.perf_counter()
     int(np.asarray(enc_probe(xs[0], nvs[0])))
-    print(f"[bench] encode compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    enc_compile_s = time.perf_counter() - t0
+    print(f"[bench] encode compile {enc_compile_s:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     rt = int(np.asarray(roundtrip_probe(xs[0], nvs[0])))
     print(f"[bench] roundtrip compile {time.perf_counter()-t0:.1f}s; "
@@ -148,24 +249,87 @@ def run_bench(seconds: float = 60.0, engine: str = "jax",
     dec_gbps = total_pcm / t_dec / 1e9
     agg = 2 * total_pcm / t_rt / 1e9
     print(
-        f"[bench] encode {enc_gbps:.3f} GB/s, decode {dec_gbps:.3f} GB/s, "
-        f"aggregate {agg:.3f} GB/s over {total_pcm/1e6:.0f} MB PCM/pass",
+        f"[bench] device pipeline: encode {enc_gbps:.3f} GB/s, decode "
+        f"{dec_gbps:.3f} GB/s, aggregate {agg:.3f} GB/s over "
+        f"{total_pcm/1e6:.0f} MB PCM/pass",
         file=sys.stderr,
     )
+    return {
+        "encode_gbps": round(enc_gbps, 4),
+        "decode_gbps": round(dec_gbps, 4),
+        "aggregate_gbps": round(agg, 4),
+        "encode_compile_s": round(enc_compile_s, 1),
+        "chunk_frames": chunk_frames,
+        "corpus_mb_per_pass": round(total_pcm / 1e6, 1),
+    }
+
+
+def run_bench(seconds: float = 300.0, engine: str = "jax",
+              chunk_frames: int = 4096, iters: int = 5,
+              n_chunks: int = 8, e2e_iters: int = 3) -> dict:
+    import os
+
+    from .utils.platform import enable_compile_cache, respect_platform_env
+
+    respect_platform_env()
+
+    import jax
+
+    from .ref.wav import WavData
+
+    enable_compile_cache()
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+
+    # --- headline: end-to-end codec, stereo CD (BASELINE config #2) --------
+    left, right = make_corpus(min(seconds, 300.0))
+    w_cd = WavData(44100, 16, [left, right])
+    e2e = bench_e2e(w_cd, iters=e2e_iters, label="e2e CD 16/44.1")
+
+    detail: dict = {
+        "e2e_encode_gbps": e2e["encode_gbps"],
+        "e2e_decode_gbps": e2e["decode_gbps"],
+        "e2e_aggregate_gbps": e2e["aggregate_gbps"],
+        "compression_ratio": e2e["compression_ratio"],
+        "e2e_pcm_mb": e2e["pcm_mb"],
+        "device": f"{dev.platform}:{dev.device_kind}",
+    }
+
+    # --- BASELINE config #4: 24-bit/96k hi-res (limb-kernel domain) --------
+    if not os.environ.get("SELA_BENCH_SKIP_HIRES"):
+        l24, r24 = make_corpus(min(seconds / 4, 60.0), rate=96000, seed=1,
+                               bits=24)
+        detail["config4_hires_24bit_96k"] = bench_e2e(
+            WavData(96000, 24, [l24, r24]), iters=max(e2e_iters - 1, 1),
+            label="e2e hi-res 24/96",
+        )
+
+    # --- 32-bit PCM (pallas_generic kernel domain) --------------------------
+    if not os.environ.get("SELA_BENCH_SKIP_32BIT"):
+        l32, r32 = make_corpus(min(seconds / 8, 30.0), seed=2, bits=32)
+        detail["config_32bit"] = bench_e2e(
+            WavData(44100, 32, [l32, r32]), iters=max(e2e_iters - 1, 1),
+            label="e2e 32-bit",
+        )
+
+    # --- BASELINE config #3: 64 heterogeneous files -------------------------
+    if not os.environ.get("SELA_BENCH_SKIP_BATCH"):
+        detail["config3_batch64"] = bench_batch64()
+
+    # --- device-only pipeline (kernel tracking; r1 headline) ----------------
+    if not os.environ.get("SELA_BENCH_SKIP_DEVICE"):
+        dp = bench_device_pipeline(min(seconds, 60.0), chunk_frames, iters,
+                                   n_chunks)
+        detail["device_pipeline"] = dp
 
     baseline = 0.625  # GB/s/chip: 10 GB/s north-star / 16 v5p chips
+    agg = e2e["aggregate_gbps"]
     result = {
-        "metric": "encode+decode GB/s/chip (CD corpus, device pipeline)",
-        "value": round(agg, 4),
+        "metric": "e2e encode+decode GB/s/chip (WAV->sela->WAV, host incl.)",
+        "value": agg,
         "unit": "GB/s",
         "vs_baseline": round(agg / baseline, 4),
-        "detail": {
-            "encode_gbps": round(enc_gbps, 4),
-            "decode_gbps": round(dec_gbps, 4),
-            "device": f"{dev.platform}:{dev.device_kind}",
-            "chunk_frames": chunk_frames,
-            "corpus_mb_per_pass": round(total_pcm / 1e6, 1),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
     return result

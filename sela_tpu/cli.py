@@ -442,6 +442,9 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] in alias:
         argv[0] = alias[argv[0]]
     args = build_parser().parse_args(argv)
+    from .utils.platform import respect_platform_env
+
+    respect_platform_env()
     if getattr(args, "cpu", False):
         from .utils.platform import force_cpu
 

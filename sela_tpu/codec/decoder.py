@@ -81,6 +81,34 @@ def _scan_python(buf: bytes, header):
     return sf, pos
 
 
+def _validate_layout(sf: dict, F: int, C: int) -> None:
+    """Vectorized form of ref.frame.validate_subframe_layout over all frames.
+
+    Channel bytes must be a per-frame permutation of 0..C-1 (rejects both
+    out-of-range and duplicate channels — a duplicate would otherwise
+    last-write-win in the dense scatter below) and sftype pairing must be
+    exactly the encoder's (MID at even c, SIDE at c+1)."""
+    from ..format import SF_MID, SF_SIDE
+
+    ch = sf["channel"].reshape(F, C)
+    if np.any(np.sort(ch, axis=1) != np.arange(C, dtype=ch.dtype)[None, :]):
+        raise container.ContainerError(
+            "subframe channels are not a permutation of 0..channels-1"
+        )
+    st = np.zeros((F, C), np.int32)
+    st[np.arange(F)[:, None], ch] = sf["sftype"].reshape(F, C)
+    if np.any((st < 0) | (st > SF_SIDE)):
+        raise container.ContainerError("bad subframe type")
+    mid = st == SF_MID
+    side = st == SF_SIDE
+    exp_side = np.zeros_like(side)
+    exp_side[:, 1::2] = mid[:, 0::2][:, : C // 2]
+    if np.any(side != exp_side) or np.any(mid[:, 1::2]) or (
+        C % 2 == 1 and np.any(mid[:, C - 1])
+    ):
+        raise container.ContainerError("inconsistent MID/SIDE subframe pairing")
+
+
 def _scan(buf: bytes, header):
     nat = _native()
     if nat is not None:
@@ -95,8 +123,13 @@ def _scan(buf: bytes, header):
         sf, end = _scan_python(buf, header)
     if np.any(sf["order"] > MAX_ORDER):
         raise container.ContainerError("LPC order out of range")
-    if np.any(sf["channel"] >= header.channels):
-        raise container.ContainerError("subframe channel out of range")
+    # rice k beyond the escape code would drive the bit readers out of their
+    # <=32-bit domain (native get(k) is UB past 32) — reject before unpack
+    from ..format import RICE_K_ESCAPE
+
+    if np.any(sf["k_coeff"] > RICE_K_ESCAPE) or np.any(sf["k_res"] > RICE_K_ESCAPE):
+        raise container.ContainerError("rice k out of range")
+    _validate_layout(sf, header.num_frames, header.channels)
     container.parse_trailer(buf, end)  # metadata passthrough; junk raises
     return sf
 
@@ -212,7 +245,9 @@ def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
 
     def collect(item):
         xf, start, fcount = item
-        with m.stage("device_decode"):
+        # "device_fetch" = device compute wait + D2H transfer (dispatch is
+        # async inside "host_unpack"'s dispatch() call — see utils.metrics)
+        with m.stage("device_fetch"):
             x = np.asarray(xf).astype(np.int32, copy=False)
         m.count("frames", fcount)
         for f in range(fcount):

@@ -88,12 +88,16 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
     # Software pipeline (SURVEY.md §2 "PP analog"): keep up to PIPELINE
     # chunks in flight on the device while the host Rice-packs completed
     # ones — jax dispatch is async, so device compute overlaps host packing.
+    # Stage semantics (utils.metrics): "device_dispatch" is host-side async
+    # dispatch cost only; the device compute wait lands in "device_fetch"
+    # together with the D2H transfer (they are not separable without an
+    # extra sync, which would break the pipeline overlap).
     PIPELINE = 4
     starts = list(range(0, F, chunk_frames))
     frames: list[bytes] = []
     inflight: list = []
     for s in starts:
-        with m.stage("device_encode"):
+        with m.stage("device_dispatch"):
             inflight.append(dispatch(s))
         if len(inflight) >= PIPELINE:
             out, nv, fcount = inflight.pop(0)

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..format import FRAME_SIZE, MAX_ORDER
 from ..ref import container
+from ..ref.frame import validate_subframe_layout
 from ..utils.bitpack import unpack_blocks
 from .pipeline import decode_step
 
@@ -62,6 +63,10 @@ def decode_stream(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         meta = []
         for f in range(n):
             subframes, ns, pos = container.parse_frame(buf, pos, C)
+            validate_subframe_layout(
+                [sf.channel for sf in subframes],
+                [sf.sftype for sf in subframes], C,
+            )
             n_valid[f] = ns
             for sf in subframes:
                 blocks.append((sf.coeff_words, sf.order, sf.k_coeff))

@@ -294,6 +294,7 @@ int64_t sela_scan_frames(const uint8_t* buf, int64_t len, int64_t pos,
                          uint32_t* res_words, int64_t* res_total) {
   int64_t cw = 0, rw = 0;
   int64_t s = 0;
+  bool seen[256];  // per-frame channel-byte dedup (channels is a u8 field)
   for (int32_t f = 0; f < num_frames; ++f) {
     if (pos + 6 > len) return -(pos + 1);
     if (ld_u32(buf + pos) != sync) return -(pos + 1);
@@ -301,8 +302,13 @@ int64_t sela_scan_frames(const uint8_t* buf, int64_t len, int64_t pos,
     if (ns <= 0 || ns > max_samples) return -(pos + 1);
     n_samples[f] = ns;
     pos += 6;
+    std::memset(seen, 0, sizeof(seen));
     for (int32_t c = 0; c < channels; ++c, ++s) {
       if (pos + 6 > len) return -(pos + 1);
+      // channel byte must be in range and unique within the frame
+      // (duplicates would last-write-win in the decoder's dense scatter)
+      if (buf[pos] >= channels || seen[buf[pos]]) return -(pos + 1);
+      seen[buf[pos]] = true;
       sf_channel[s] = buf[pos];
       sf_type[s] = buf[pos + 1];
       sf_order[s] = buf[pos + 2];

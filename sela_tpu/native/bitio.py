@@ -13,8 +13,12 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _LIB_PATH = os.path.join(_DIR, "libselabitio.so")
-if not os.path.exists(_LIB_PATH) and os.path.exists(os.path.join(_DIR, "bitio.cpp")):
-    # best-effort one-shot build (the .so is not checked in)
+_SRC_PATH = os.path.join(_DIR, "bitio.cpp")
+if os.path.exists(_SRC_PATH) and (
+    not os.path.exists(_LIB_PATH)
+    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)
+):
+    # best-effort build (the .so is not checked in; rebuilt when stale)
     import subprocess
 
     subprocess.run(

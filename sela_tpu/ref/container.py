@@ -10,12 +10,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..errors import ContainerError  # noqa: F401  (re-export: stable API)
 from ..format import MAGIC, MAX_FRAME_SAMPLES, SYNC, TAG_MAGIC, TAG_MAX_BYTES
 from .frame import SubFrame
-
-
-class ContainerError(ValueError):
-    pass
 
 
 @dataclass
@@ -65,9 +62,15 @@ def parse_header(buf: bytes) -> SelaHeader:
 
 
 def parse_subframe(buf: bytes, pos: int, n_samples: int) -> tuple[SubFrame, int]:
+    from ..format import MAX_ORDER, RICE_K_ESCAPE
+
     if pos + 6 > len(buf):
         raise ContainerError("truncated subframe header")
     ch, sftype, order, k_c, nwc = struct.unpack_from("<BBBBH", buf, pos)
+    if order > MAX_ORDER:
+        raise ContainerError(f"LPC order {order} out of range")
+    if k_c > RICE_K_ESCAPE:
+        raise ContainerError(f"coefficient rice k {k_c} out of range")
     pos += 6
     if pos + 4 * nwc > len(buf):
         raise ContainerError("truncated coefficient block")
@@ -76,6 +79,8 @@ def parse_subframe(buf: bytes, pos: int, n_samples: int) -> tuple[SubFrame, int]
     if pos + 5 > len(buf):
         raise ContainerError("truncated residue block header")
     k_r, nwr = struct.unpack_from("<BI", buf, pos)
+    if k_r > RICE_K_ESCAPE:
+        raise ContainerError(f"residue rice k {k_r} out of range")
     pos += 5
     if pos + 4 * nwr > len(buf):
         raise ContainerError("truncated residue block")

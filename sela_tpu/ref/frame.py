@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..errors import ContainerError
 from ..format import SF_DIRECT, SF_MID, SF_SIDE
 from . import lpc, rice
 
@@ -92,9 +93,42 @@ def encode_frame(channels: list[np.ndarray], max_order: int = 32,
     return subframes
 
 
+def validate_subframe_layout(channels: list[int], types: list[int],
+                             nch: int) -> None:
+    """Normative frame-layout rules (FORMAT.md): every decode path enforces
+    these BEFORE touching sample data, so malformed containers raise
+    ContainerError instead of crashing or silently mis-decoding.
+
+      - exactly nch subframes; channel bytes are a permutation of 0..nch-1
+      - sftype in {DIRECT, MID, SIDE}
+      - MID appears only at an even channel c with c+1 < nch, and the
+        subframe for channel c+1 is then SIDE; SIDE appears only as that
+        partner (matches the encoder, which pairs channels (2p, 2p+1)).
+    """
+    if len(channels) != nch:
+        raise ContainerError("wrong subframe count")
+    t = [-1] * nch
+    for ch, ty in zip(channels, types):
+        if not 0 <= ch < nch:
+            raise ContainerError(f"subframe channel {ch} out of range")
+        if t[ch] != -1:
+            raise ContainerError(f"duplicate subframe channel {ch}")
+        if not SF_DIRECT <= ty <= SF_SIDE:
+            raise ContainerError(f"bad subframe type {ty}")
+        t[ch] = ty
+    for c in range(nch):
+        if t[c] == SF_MID and (c % 2 or c + 1 >= nch or t[c + 1] != SF_SIDE):
+            raise ContainerError(f"MID subframe at channel {c} has no SIDE partner")
+        if t[c] == SF_SIDE and (c % 2 == 0 or t[c - 1] != SF_MID):
+            raise ContainerError(f"orphan SIDE subframe at channel {c}")
+
+
 def decode_frame(subframes: list[SubFrame], nch: int) -> list[np.ndarray]:
+    validate_subframe_layout(
+        [sf.channel for sf in subframes], [sf.sftype for sf in subframes], nch
+    )
     raw: list[np.ndarray] = [None] * nch  # type: ignore[list-item]
-    types = [None] * nch
+    types = [SF_DIRECT] * nch
     for sf in subframes:
         q = rice.decode(sf.coeff_words, sf.order, sf.k_coeff)
         e = rice.decode(sf.res_words, sf.n_samples, sf.k_res)
@@ -103,7 +137,7 @@ def decode_frame(subframes: list[SubFrame], nch: int) -> list[np.ndarray]:
     out: list[np.ndarray] = [None] * nch  # type: ignore[list-item]
     ch = 0
     while ch < nch:
-        if ch + 1 < nch and types[ch] == SF_MID and types[ch + 1] == SF_SIDE:
+        if ch + 1 < nch and types[ch] == SF_MID:
             out[ch], out[ch + 1] = inverse_mid_side(raw[ch], raw[ch + 1])
             ch += 2
         else:

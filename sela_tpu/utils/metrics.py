@@ -7,6 +7,17 @@ entry point can be handed a Metrics sink that accumulates counters
 JSON-lines record per operation — machine-parseable (`--log-json`) and
 cheap enough to stay on in production (a few dict updates per device chunk;
 the device path is untouched).
+
+Stage-name semantics (JAX dispatch is asynchronous, so host wall-time
+buckets do NOT equal device busy-time):
+  encode: "device_dispatch" — host cost of async-dispatching a chunk's jit
+          call (trace/arg staging only, NOT device compute);
+          "device_fetch"    — wait for device completion + D2H of planning
+          arrays (device compute time hides here, minus whatever overlapped
+          host packing); "host_pack" — Rice pack + container serialize.
+  decode: "host_parse" — container scan; "host_unpack" — Rice unpack +
+          scatter + async dispatch; "device_fetch" — device wait + D2H PCM.
+For true device busy-time use `--profile-trace` (jax.profiler), not these.
 """
 from __future__ import annotations
 

@@ -32,3 +32,18 @@ def force_cpu() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def respect_platform_env() -> None:
+    """Honor JAX_PLATFORMS=cpu SAFELY in this sandbox.
+
+    Merely setting the env var selects the CPU backend but leaves the axon
+    plugin registered, and a registered-but-unused axon plugin makes CPU
+    computations hang flakily (tests/conftest.py documents the measurement).
+    Entry points (CLI, bench) call this before any jax computation so that
+    the documented `JAX_PLATFORMS=cpu selax ...` recipe actually works.
+    """
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        force_cpu()

@@ -100,7 +100,8 @@ def test_metrics_counters_and_stages(rng, signal_factory):
     assert rec["coded_bytes"] == len(buf)
     assert rec["pcm_bytes"] == w.n_samples * 2 * 2
     assert 0 < rec["ratio"] < 1.5
-    assert rec["device_encode_s"] > 0
+    assert rec["device_dispatch_s"] > 0  # async dispatch cost only
+    assert rec["device_fetch_s"] > 0     # device wait + D2H
     assert rec["host_pack_s"] > 0
 
     m2 = Metrics()
@@ -108,5 +109,6 @@ def test_metrics_counters_and_stages(rng, signal_factory):
     rec2 = m2.snapshot("decode")
     assert rec2["frames"] == 2
     assert rec2["host_parse_s"] > 0
+    assert rec2["device_fetch_s"] > 0
     for a, b in zip(out.channels, w.channels):
         np.testing.assert_array_equal(a, b)
