@@ -100,8 +100,8 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
     if fused and allow_ms:
         from ..kernels.encode import fir_rice_pallas
 
-        e, eff_order, sums = fir_rice_pallas(xb, c, order, nv)
-        k_res, bits_res = rice.k_and_bits_from_sums(sums, nv, rice_k_max)
+        e, eff_order, counts = fir_rice_pallas(xb, c, order, nv)
+        k_res, bits_res = rice.k_and_bits_from_counts(counts, nv, rice_k_max)
         nw_res = rice.block_words(bits_res)
     else:
         # allow_ms doubles as the <=24-bit marker (FORMAT.md): the limb FIR
@@ -123,30 +123,50 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
     nw_res, nw_coeff = g2(nw_res), g2(nw_coeff)
     bb = g2(block_bits)
 
-    # mid/side decision per pair: candidate rows C + 2p (mid), C + 2p + 1 (side)
-    sftype = jnp.zeros((F, C), jnp.int32)
-    sel = jnp.arange(C)[None, :].repeat(F, 0)  # candidate index per output ch
+    # mid/side decision per pair: candidate rows C + 2p (mid), C + 2p + 1
+    # (side), i.e. paired output channel c selects between row c (direct)
+    # and row C + c (its mid/side counterpart). Selection is jnp.where per
+    # channel, NOT take_along_axis — XLA lowers the gather to a slow
+    # scalar loop (measured ~800 ms per 256-frame chunk on CPU, ~4x the
+    # whole rest of the encode graph; wheres are plain vector selects).
     n_pairs = C // 2 if C2 > C else 0
-    for p in range(n_pairs):
-        li, ri = 2 * p, 2 * p + 1
-        mi, si = C + 2 * p, C + 2 * p + 1
-        use_ms = (bb[:, mi] + bb[:, si]) < (bb[:, li] + bb[:, ri])
-        sel = sel.at[:, li].set(jnp.where(use_ms, mi, li))
-        sel = sel.at[:, ri].set(jnp.where(use_ms, si, ri))
-        sftype = sftype.at[:, li].set(jnp.where(use_ms, SF_MID, SF_DIRECT))
-        sftype = sftype.at[:, ri].set(jnp.where(use_ms, SF_SIDE, SF_DIRECT))
+    use_ms_pair = []
+    sft_cols = []
+    for c in range(C):
+        p = c // 2
+        if p < n_pairs:
+            if c % 2 == 0:
+                li, ri = 2 * p, 2 * p + 1
+                mi, si = C + 2 * p, C + 2 * p + 1
+                use_ms_pair.append(
+                    (bb[:, mi] + bb[:, si]) < (bb[:, li] + bb[:, ri])
+                )
+            u = use_ms_pair[p]
+            t = SF_MID if c % 2 == 0 else SF_SIDE
+            sft_cols.append(jnp.where(u, t, SF_DIRECT).astype(jnp.int32))
+        else:
+            sft_cols.append(jnp.zeros(F, jnp.int32))
+    sftype = jnp.stack(sft_cols, axis=1)
 
-    take = lambda a: jnp.take_along_axis(
-        a, sel.reshape(F, C, *([1] * (a.ndim - 2))), axis=1
-    )
+    def pick(a):
+        cols = []
+        for c in range(C):
+            p = c // 2
+            if p < n_pairs:
+                u = use_ms_pair[p].reshape(F, *([1] * (a.ndim - 2)))
+                cols.append(jnp.where(u, a[:, C + c], a[:, c]))
+            else:
+                cols.append(a[:, c])
+        return jnp.stack(cols, axis=1)
+
     return dict(
-        residues=take(e),
-        order=take(eff_order),
-        qcoeffs=take(q_eff),
-        k_res=take(k_res),
-        k_coeff=take(k_coeff),
-        nw_res=take(nw_res),
-        nw_coeff=take(nw_coeff),
+        residues=pick(e),
+        order=pick(eff_order),
+        qcoeffs=pick(q_eff),
+        k_res=pick(k_res),
+        k_coeff=pick(k_coeff),
+        nw_res=pick(nw_res),
+        nw_coeff=pick(nw_coeff),
         sftype=sftype,
     )
 

@@ -41,14 +41,17 @@ VMEM_LIMIT = 100 * 1024 * 1024
 KSUMS = 32  # k = 0..30 used; padded to 32 columns
 
 
-def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, shi_ref, slo_ref):
+def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, pc_ref):
     """One [R, S] tile.
 
     x_ref: [R, S] int32 samples (zero-padded rows); c_ref: [R, P] int32 Q20
     coeffs (zero beyond order); nv_ref: [R, 1] int32 valid counts.
     e_ref: [R, S] int32 residues (guard applied, zero beyond valid);
-    ok_ref: [R, 1] int32 guard flag; shi/slo_ref: [R, 32] int32 — i64 pair of
-    sum(zigzag(e) >> k) over valid samples, per k.
+    ok_ref: [R, 1] int32 guard flag; pc_ref: [R, 32] int32 — column j is the
+    count of valid residues whose zigzag has bit j set. The k-search cost
+    sum(u >> k) is recovered exactly outside the kernel via the recurrence
+    S(k) = 2*S(k+1) + pc[:, k] (ops.rice), so the kernel does 32 int32
+    reductions instead of the previous 31 x 2 emulated-64-bit masked sums.
     """
     R, S = x_ref.shape
     x = x_ref[:, :]
@@ -93,39 +96,17 @@ def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, shi_ref, slo_ref):
     e_ref[:, :] = e32
     ok_ref[:, :] = ok_row
 
-    # zigzag (int32 bit pattern == uint32 zigzag) + masked exact cost sums
+    # zigzag (int32 bit pattern == uint32 zigzag) + per-bit population counts
     u = jax.lax.bitcast_convert_type(
         (e32 << 1) ^ jax.lax.shift_right_arithmetic(e32, 31), jnp.uint32
     )
-    u = jnp.where(valid, u, jnp.uint32(0))
-    mask16 = jnp.uint32(0xFFFF)
-    for k in range(KSUMS - 1):  # k = 0..30
-        v = u >> k
-        # 16-bit halves fit int32 (Mosaic has no unsigned reductions);
-        # each half-sum <= 2048*2^16 < 2^27
-        lo = jnp.sum(
-            jax.lax.bitcast_convert_type(v & mask16, jnp.int32),
+    u = jnp.where(valid, u, jnp.uint32(0))  # invalid rows contribute 0
+    one = jnp.uint32(1)
+    for j in range(KSUMS):  # bit j = 0..31
+        pc_ref[:, j : j + 1] = jnp.sum(
+            jax.lax.bitcast_convert_type((u >> j) & one, jnp.int32),
             axis=1, keepdims=True,
         )
-        hi = jnp.sum(
-            jax.lax.bitcast_convert_type(v >> 16, jnp.int32),
-            axis=1, keepdims=True,
-        )
-        # total = hi*2^16 + lo as an i64 (hi can reach 2^27)
-        s = i64.add(
-            i64.I64(
-                jax.lax.shift_right_arithmetic(hi, 16),
-                jax.lax.bitcast_convert_type(hi << 16, jnp.uint32),
-            ),
-            i64.I64(
-                jnp.zeros_like(hi),
-                jax.lax.bitcast_convert_type(lo, jnp.uint32),
-            ),
-        )
-        shi_ref[:, k : k + 1] = s.hi
-        slo_ref[:, k : k + 1] = jax.lax.bitcast_convert_type(s.lo, jnp.int32)
-    shi_ref[:, KSUMS - 1 : KSUMS] = jnp.zeros((R, 1), jnp.int32)
-    slo_ref[:, KSUMS - 1 : KSUMS] = jnp.zeros((R, 1), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -137,8 +118,7 @@ def _fir_rice_tiles(x, c, nv2, interpret: bool):
         out_shape=(
             jax.ShapeDtypeStruct((B, S), jnp.int32),       # residues
             jax.ShapeDtypeStruct((B, 1), jnp.int32),       # ok flag
-            jax.ShapeDtypeStruct((B, KSUMS), jnp.int32),   # sum hi
-            jax.ShapeDtypeStruct((B, KSUMS), jnp.int32),   # sum lo
+            jax.ShapeDtypeStruct((B, KSUMS), jnp.int32),   # bit counts
         ),
         grid=grid,
         in_specs=[
@@ -149,7 +129,6 @@ def _fir_rice_tiles(x, c, nv2, interpret: bool):
         out_specs=(
             pl.BlockSpec((ROWS, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, KSUMS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, KSUMS), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -213,12 +192,13 @@ def autocorr_pallas(x: jax.Array, max_lag: int = MAX_ORDER,
 
 def fir_rice_pallas(x: jax.Array, coeffs: jax.Array, order: jax.Array,
                     n_valid: jax.Array, interpret: bool | None = None):
-    """Fused FIR + Rice cost sums. Drop-in for
-    (ops.filters.fir_residues_fast, ops.rice residue cost sums).
+    """Fused FIR + Rice per-bit counts. Drop-in for
+    (ops.filters.fir_residues_fast, ops.rice residue cost planning).
 
     x: [B, S] int32 (|x| < 2^26 — PCM <= 24-bit incl. mid/side candidates);
     coeffs: [B, P] int32 Q20; order, n_valid: [B] int32.
-    Returns (e [B, S] int32, eff_order [B] int32, sums I64 [B, 32]).
+    Returns (e [B, S] int32, eff_order [B] int32, counts [B, 32] int32);
+    feed counts to ops.rice.k_and_bits_from_counts for the exact k search.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -229,9 +209,8 @@ def fir_rice_pallas(x: jax.Array, coeffs: jax.Array, order: jax.Array,
         coeffs = jnp.pad(coeffs, ((0, pad), (0, 0)))
         n_valid = jnp.pad(n_valid, (0, pad))
     nv2 = n_valid.astype(jnp.int32)[:, None]
-    e, ok, shi, slo = _fir_rice_tiles(x, coeffs, nv2, interpret)
+    e, ok, counts = _fir_rice_tiles(x, coeffs, nv2, interpret)
     if pad:
-        e, ok, shi, slo = e[:B], ok[:B], shi[:B], slo[:B]
+        e, ok, counts = e[:B], ok[:B], counts[:B]
     eff_order = jnp.where(ok[:, 0] > 0, order, 0).astype(jnp.int32)
-    sums = i64.I64(shi, jax.lax.bitcast_convert_type(slo, jnp.uint32))
-    return e, eff_order, sums
+    return e, eff_order, counts

@@ -33,46 +33,72 @@ def unzigzag(u: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(res, jnp.int32)
 
 
-def _sum_u32_exact(v: jax.Array, valid: jax.Array) -> i64.I64:
-    """Exact sum over axis -1 of uint32 values (masked), as an i64 pair.
+def bit_counts(u: jax.Array) -> jax.Array:
+    """[B, N] zigzag values (zeroed beyond valid) -> [B, 32] int32, column j =
+    number of values in the row with bit j set.
 
-    Splits into 16-bit halves; each half-sum stays < 2^27 for N <= 2048."""
-    mask16 = jnp.uint32(0xFFFF)
-    v = jnp.where(valid, v, jnp.uint32(0))
-    lo = jnp.sum(v & mask16, axis=-1, dtype=jnp.uint32)
-    hi = jnp.sum(v >> 16, axis=-1, dtype=jnp.uint32)
-    # total = hi * 2^16 + lo; hi can reach 2^27 so hi*2^16 needs both words
-    hi_pair = jax.lax.bitcast_convert_type(hi >> 16, jnp.int32)
-    lo_pair = hi << 16
-    return i64.add(i64.I64(hi_pair, lo_pair),
-                   i64.I64(jnp.zeros_like(hi_pair), lo))
+    The k-search primitive: sum(u >> k) over a row satisfies the exact
+    recurrence S(k) = 2*S(k+1) + bit_counts[:, k], so 32 cheap int32
+    reductions replace 31 emulated-64-bit masked sums over [B, N] — and,
+    crucially, every reduction reads the SAME u, so XLA cannot re-fuse the
+    producer computation (FIR, zigzag) into each k iteration (measured 4x
+    whole-graph slowdown on CPU from exactly that re-fusion).
+    """
+    one = jnp.uint32(1)
+    cols = [
+        jnp.sum(
+            jax.lax.bitcast_convert_type((u >> j) & one, jnp.int32),
+            axis=-1, dtype=jnp.int32,
+        )
+        for j in range(32)
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def _shift_sums_from_counts(counts: jax.Array, k_max: int) -> i64.I64:
+    """[B, 32] bit counts -> I64 [B, k_max+1]; column k = sum(u >> k).
+
+    S(31) = counts[:, 31]; S(k) = 2*S(k+1) + counts[:, k]. Exact: counts
+    <= N <= 65535 and S(0) = sum(u) < N * 2^32 fits well inside 64 bits.
+    """
+    zero = jnp.zeros_like(counts[:, 0])
+    s = i64.I64(zero, jax.lax.bitcast_convert_type(counts[:, 31], jnp.uint32))
+    cols = [None] * 32
+    cols[31] = s
+    for k in range(30, -1, -1):
+        s = i64.add(
+            i64.shl(s, 1),
+            i64.I64(zero, jax.lax.bitcast_convert_type(counts[:, k], jnp.uint32)),
+        )
+        cols[k] = s
+    hi = jnp.stack([c.hi for c in cols[: k_max + 1]], axis=-1)
+    lo = jnp.stack([c.lo for c in cols[: k_max + 1]], axis=-1)
+    return i64.I64(hi, lo)
 
 
 def optimal_k_and_bits(u: jax.Array, n_valid: jax.Array,
                        k_max: int = RICE_K_MAX):
-    """[B, N] zigzag values + [B] counts -> (k [B] int32, bits [B] int32).
+    """[B, N] zigzag values (MUST be zeroed beyond n_valid) + [B] counts ->
+    (k [B] int32, bits [B] int32).
 
     C(k) = sum(u >> k) + n*(k+1) minimized over k in [0, k_max]; ties go
     to the lowest k; escape to k=31 (verbatim, 32n bits) when min C > 32n.
     Exact 64-bit cost arithmetic — bit-identical to the oracle.
     """
-    B, N = u.shape
-    valid = jnp.arange(N)[None, :] < n_valid[:, None]
-    best_k = jnp.zeros(B, jnp.int32)
-    best_c = i64.const(1 << 62, (B,))
-    for k in range(k_max + 1):
-        s = _sum_u32_exact(u >> k, valid)
-        c = i64.add(s, i64.from_i32((n_valid * (k + 1)).astype(jnp.int32)))
-        better = i64.lt(c, best_c)
-        best_k = jnp.where(better, k, best_k)
-        best_c = i64.where(better, c, best_c)
-    verb = i64.from_i32((32 * n_valid).astype(jnp.int32))
-    escape = i64.lt(verb, best_c)  # min C > 32n  <=>  32n < C
-    k = jnp.where(escape, RICE_K_ESCAPE, best_k)
-    bits = jnp.where(escape, 32 * n_valid, i64.saturate_i32(best_c))
-    # zero-count rows: k=0, bits=0
-    empty = n_valid == 0
-    return jnp.where(empty, 0, k).astype(jnp.int32), jnp.where(empty, 0, bits).astype(jnp.int32)
+    sums = _shift_sums_from_counts(bit_counts(u), k_max)
+    return k_and_bits_from_sums(sums, n_valid, k_max)
+
+
+def k_and_bits_from_counts(counts: jax.Array, n_valid: jax.Array,
+                           k_max: int = RICE_K_MAX):
+    """(k, bits) from per-bit population counts (fused Pallas encode path).
+
+    counts: [B, 32] int32, column j = number of values with bit j set (the
+    kernel's one-pass output). Same selection semantics as optimal_k_and_bits.
+    """
+    return k_and_bits_from_sums(
+        _shift_sums_from_counts(counts, k_max), n_valid, k_max
+    )
 
 
 def k_and_bits_from_sums(sums: i64.I64, n_valid: jax.Array,

@@ -58,6 +58,14 @@ def parse_header(buf: bytes) -> SelaHeader:
     rate, bps, nch, nframes = struct.unpack_from("<IHBI", buf, 4)
     if nch == 0:
         raise ContainerError("zero channels")
+    # plausibility bound BEFORE any F*C-sized allocation: every frame costs
+    # at least 6 header bytes + 11 bytes per subframe, so a corrupt header
+    # claiming ~2^32 frames is rejected here instead of driving the scanners
+    # into a 100+ GiB allocation (found by header-region fuzz)
+    if nframes * (6 + 11 * nch) > len(buf) - HEADER_SIZE:
+        raise ContainerError(
+            f"frame count {nframes} impossible for a {len(buf)}-byte file"
+        )
     return SelaHeader(rate, bps, nch, nframes)
 
 

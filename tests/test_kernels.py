@@ -120,10 +120,10 @@ def test_fused_encode_kernel_matches_jnp(rng, signal_factory):
     k_want, bits_want, nw_want = jax.jit(ops_rice.plan_blocks)(
         e_want, jnp.asarray(nv))
 
-    e_got, eff_got, sums = fir_rice_pallas(
+    e_got, eff_got, counts = fir_rice_pallas(
         jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(nv),
         interpret=True)
-    k_got, bits_got = ops_rice.k_and_bits_from_sums(sums, jnp.asarray(nv))
+    k_got, bits_got = ops_rice.k_and_bits_from_counts(counts, jnp.asarray(nv))
 
     np.testing.assert_array_equal(np.asarray(e_got), np.asarray(e_want))
     np.testing.assert_array_equal(np.asarray(eff_got), np.asarray(eff_want))

@@ -91,8 +91,8 @@ def main():
           jax.device_put(np.asarray(q[: F * 2]).reshape(F, 2, -1)),
           jax.device_put(np.asarray(ordr[: F * 2]).reshape(F, 2)),
           jax.device_put(np.zeros((F, 2), np.int32)))),
-        ("zigzag+cumk", probe(lambda v, n: rice.optimal_k_and_bits(
-            rice.zigzag(v), n)), (e, nv)),
+        ("zigzag+cumk", probe(lambda v, n: rice.plan_blocks(v, n)[:2]),
+         (e, nv)),
     ]
 
     pcm_bytes = F * 2 * S * 2

@@ -9,6 +9,11 @@ in-process tests cannot: separate jax runtimes, coordination-service
 handshake, filesystem-only cross-host communication.
 
 Usage: python tools/shard_worker.py <in.wav> <out_dir> [--slow-ms N]
+           [--rank R --n-hosts N] [--chunk-frames F]
+
+With --rank/--n-hosts the jax.distributed handshake is skipped (filesystem-
+only coordination — the mode tools/measure_scaling.py uses to time shards
+under pinned, equal per-host CPU resources).
 """
 from __future__ import annotations
 
@@ -28,22 +33,31 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def _flag(name: str, default=None):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
 def main() -> int:
     wav_path, out_dir = sys.argv[1], sys.argv[2]
-    slow_ms = 0
-    if "--slow-ms" in sys.argv:
-        slow_ms = int(sys.argv[sys.argv.index("--slow-ms") + 1])
+    slow_ms = int(_flag("--slow-ms", 0))
+    chunk_frames = int(_flag("--chunk-frames", 8))
+    rank_arg = _flag("--rank")
 
     from sela_tpu.parallel.multihost import encode_shard, init_distributed
     from sela_tpu.ref.wav import read_wav
 
-    rank, n_hosts = init_distributed()
-    assert n_hosts == int(os.environ["JAX_NUM_PROCESSES"])
+    if rank_arg is not None:
+        rank, n_hosts = int(rank_arg), int(_flag("--n-hosts"))
+    else:
+        rank, n_hosts = init_distributed()
+        assert n_hosts == int(os.environ["JAX_NUM_PROCESSES"])
     w = read_wav(wav_path)
     if slow_ms:
         # deterministic window for the fault-injection test to kill us in
         time.sleep(slow_ms / 1000.0)
-    m = encode_shard(w, out_dir, rank, n_hosts, chunk_frames=8)
+    m = encode_shard(w, out_dir, rank, n_hosts, chunk_frames=chunk_frames)
     print(f"rank {rank}/{n_hosts}: frames [{m['frame_lo']}, {m['frame_hi']}) "
           f"{m['bytes']}B {m['sha256'][:8]}", flush=True)
     return 0
