@@ -33,6 +33,9 @@ def _profile_from(args):
             else args.rice_k_max
         ),
         mid_side="off" if getattr(args, "no_mid_side", False) else "auto",
+        residue_partition=(
+            4 if getattr(args, "partition_residues", False) else 1
+        ),
     )
     return p.validate()
 
@@ -383,6 +386,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Rice optimal-k search cap (<= 30)")
         sp.add_argument("--no-mid-side", action="store_true",
                         help="disable mid/side decorrelation candidates")
+        sp.add_argument("--partition-residues", action="store_true",
+                        help="adaptive 4-way partitioned residues (smaller "
+                             "files on transient content; FORMAT.md)")
 
     enc = add("encode", cmd_encode, help="WAV -> .sela")
     enc.add_argument("input")

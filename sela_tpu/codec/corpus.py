@@ -44,6 +44,8 @@ def encode_files(wavs: list[WavData], chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         F_all = x_all.shape[0]
 
         outs = []
+        plan_keys = ("order", "qcoeffs", "k_res", "k_coeff", "nw_res",
+                     "nw_coeff", "sftype")
         for start in range(0, F_all, chunk_frames):
             stop = min(start + chunk_frames, F_all)
             xc = np.zeros((chunk_frames, C, frame_size), np.int32)
@@ -53,7 +55,15 @@ def encode_files(wavs: list[WavData], chunk_frames: int = DEFAULT_CHUNK_FRAMES,
             out = encode_step(
                 xc, nc, allow_ms=allow_ms, fused=default_fused(allow_ms)
             )
-            outs.append({k: np.asarray(v)[: stop - start] for k, v in out.items()})
+            host = {k: np.asarray(out[k])[: stop - start] for k in plan_keys}
+            # int16 wire for the residue fetch when every frame fits
+            if np.asarray(out["fits16"]).all():
+                host["residues"] = (
+                    np.asarray(out["res16"])[: stop - start].astype(np.int32)
+                )
+            else:
+                host["residues"] = np.asarray(out["residues"])[: stop - start]
+            outs.append(host)
         merged = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
         # pack all blocks of the whole group in one native call
@@ -125,7 +135,7 @@ def decode_files(bufs: list[bytes], chunk_frames: int = DEFAULT_CHUNK_FRAMES) ->
     for (C, le24), idxs in groups.items():
         iir = ("pallas" if le24 else "pallas_generic") if on_tpu else "scan"
         F_all = sum(parsed[i][0].num_frames for i in idxs)
-        residues = np.zeros((F_all, C, S), np.int32)
+        residues = np.zeros((F_all, C, S), np.int32)  # narrowed at H2D below
         qcoeffs = np.zeros((F_all, C, 32), np.int32)
         orders = np.zeros((F_all, C), np.int32)
         sftype = np.zeros((F_all, C), np.int32)
@@ -140,7 +150,8 @@ def decode_files(bufs: list[bytes], chunk_frames: int = DEFAULT_CHUNK_FRAMES) ->
             for f, subframes in enumerate(sfs):
                 for sf in subframes:
                     blocks.append((sf.coeff_words, sf.order, sf.k_coeff))
-                    blocks.append((sf.res_words, sf.n_samples, sf.k_res))
+                    kr = sf.k_res_sub if sf.k_res_sub is not None else sf.k_res
+                    blocks.append((sf.res_words, sf.n_samples, kr))
                     meta.append((pos + f, sf.channel, sf.order, sf.sftype, sf.n_samples))
             pos += h.num_frames
         values = unpack_blocks(blocks)
@@ -151,9 +162,16 @@ def decode_files(bufs: list[bytes], chunk_frames: int = DEFAULT_CHUNK_FRAMES) ->
             sftype[fi, ch] = t
 
         pcm_parts = []
+        # int16 wire for the residue upload when the whole group fits
+        rdt = (
+            np.int16
+            if (residues.size == 0
+                or (residues.min() >= -(1 << 15) and residues.max() < (1 << 15)))
+            else np.int32
+        )
         for start in range(0, F_all, chunk_frames):
             stop = min(start + chunk_frames, F_all)
-            rc = np.zeros((chunk_frames, C, S), np.int32)
+            rc = np.zeros((chunk_frames, C, S), rdt)
             qc = np.zeros((chunk_frames, C, 32), np.int32)
             oc = np.zeros((chunk_frames, C), np.int32)
             tc = np.zeros((chunk_frames, C), np.int32)

@@ -52,7 +52,8 @@ def _scan_python(buf: bytes, header):
     F = header.num_frames
     pos = container.HEADER_SIZE
     n_samples = np.zeros(F, np.int32)
-    keys = ("channel", "sftype", "order", "k_coeff", "nw_coeff", "k_res", "nw_res")
+    keys = ("channel", "sftype", "order", "k_coeff", "nw_coeff", "k_res",
+            "k_res4", "nw_res")
     sf = {k: np.zeros(F * C, np.int32) for k in keys}
     coeff_parts = []
     res_parts = []
@@ -67,6 +68,11 @@ def _scan_python(buf: bytes, header):
             sf["k_coeff"][s] = x.k_coeff
             sf["nw_coeff"][s] = len(x.coeff_words)
             sf["k_res"][s] = x.k_res
+            if x.k_res_sub is not None:
+                kk = 0
+                for q, sk in enumerate(x.k_res_sub):
+                    kk |= int(sk) << (8 * q)
+                sf["k_res4"][s] = kk
             sf["nw_res"][s] = len(x.res_words)
             coeff_parts.append(x.coeff_words)
             res_parts.append(x.res_words)
@@ -124,10 +130,13 @@ def _scan(buf: bytes, header):
     if np.any(sf["order"] > MAX_ORDER):
         raise container.ContainerError("LPC order out of range")
     # rice k beyond the escape code would drive the bit readers out of their
-    # <=32-bit domain (native get(k) is UB past 32) — reject before unpack
-    from ..format import RICE_K_ESCAPE
+    # <=32-bit domain (native get(k) is UB past 32) — reject before unpack.
+    # k_res may also be the partition marker (sub-ks validated at parse).
+    from ..format import RICE_K_ESCAPE, RICE_PARTITION_MARKER
 
-    if np.any(sf["k_coeff"] > RICE_K_ESCAPE) or np.any(sf["k_res"] > RICE_K_ESCAPE):
+    if np.any(sf["k_coeff"] > RICE_K_ESCAPE) or np.any(
+        (sf["k_res"] > RICE_K_ESCAPE) & (sf["k_res"] != RICE_PARTITION_MARKER)
+    ):
         raise container.ContainerError("rice k out of range")
     _validate_layout(sf, header.num_frames, header.channels)
     container.parse_trailer(buf, end)  # metadata passthrough; junk raises
@@ -179,18 +188,24 @@ def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
             evals = nat.unpack_blocks_flat(
                 sf["res_words"][rw_offs[lo_sf] : rw_offs[hi_sf]],
                 _exclusive_cumsum(nwr)[:-1], nwr, rcount,
-                sf["k_res"][lo_sf:hi_sf],
+                sf["k_res"][lo_sf:hi_sf], sf["k_res4"][lo_sf:hi_sf],
             )
             return qvals, evals
+        from ..format import RICE_PARTITION_MARKER
+
         blocks = []
         for s in range(lo_sf, hi_sf):
             blocks.append((
                 sf["coeff_words"][cw_offs[s] : cw_offs[s + 1]],
                 int(sf["order"][s]), int(sf["k_coeff"][s]),
             ))
+            kr = int(sf["k_res"][s])
+            if kr == RICE_PARTITION_MARKER:
+                kk = int(sf["k_res4"][s])
+                kr = [(kk >> (8 * q)) & 0xFF for q in range(4)]
             blocks.append((
                 sf["res_words"][rw_offs[s] : rw_offs[s + 1]],
-                int(res_counts[s]), int(sf["k_res"][s]),
+                int(res_counts[s]), kr,
             ))
         values = unpack_blocks(blocks)
         qvals = (
@@ -220,7 +235,16 @@ def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
                 np.repeat(np.arange(fcount, dtype=np.int64), C) * C
                 + sf["channel"][lo_sf:hi_sf]
             )
-            residues = np.zeros((chunk_frames * C, S), np.int32)
+            # int16 wire format for the host->device residue transfer:
+            # halves the dominant H2D when every value fits (decode_step
+            # upcasts on device; separate jit signature per dtype)
+            res_dtype = (
+                np.int16
+                if (evals.size == 0
+                    or (evals.min() >= -(1 << 15) and evals.max() < (1 << 15)))
+                else np.int32
+            )
+            residues = np.zeros((chunk_frames * C, S), res_dtype)
             qcoeffs = np.zeros((chunk_frames * C, MAX_ORDER), np.int32)
             orders = np.zeros(chunk_frames * C, np.int32)
             sftype = np.zeros(chunk_frames * C, np.int32)

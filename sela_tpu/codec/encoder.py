@@ -50,13 +50,14 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
     """
     if w.n_samples == 0:
         raise ValueError("empty audio")
-    max_order, rice_k_max, allow_ms = MAX_ORDER, None, True
+    max_order, rice_k_max, allow_ms, partition = MAX_ORDER, None, True, 1
     if profile is not None:
         profile.validate()
         frame_size = profile.frame_size
         max_order = profile.max_order
         rice_k_max = profile.rice_k_max
         allow_ms = profile.mid_side != "off"
+        partition = profile.residue_partition
     allow_ms = allow_ms and w.bits_per_sample <= 24  # FORMAT.md: 32-bit is LR-only
     x, n_valid = frame_batches(w.channels, frame_size)
     F, C, S = x.shape
@@ -81,7 +82,7 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
         nv[:fcount] = n_valid[start:stop]
         out = encode_step(
             xc, nv, allow_ms=allow_ms, max_order=max_order,
-            rice_k_max=rice_k_max, fused=fused,
+            rice_k_max=rice_k_max, fused=fused, partition=partition,
         )
         return out, nv, fcount
 
@@ -96,19 +97,37 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
     starts = list(range(0, F, chunk_frames))
     frames: list[bytes] = []
     inflight: list = []
+
+    def fetch(out: dict) -> dict:
+        """D2H of one chunk's planning arrays.
+
+        Residues cross as int16 whenever every frame's values fit (the
+        device-computed fits16 flags), halving the dominant transfer;
+        the exact int32 array is fetched otherwise."""
+        host = {
+            k: np.asarray(out[k])
+            for k in ("order", "qcoeffs", "k_res", "k_res4", "k_coeff",
+                      "nw_res", "nw_coeff", "sftype")
+        }
+        if np.asarray(out["fits16"]).all():
+            host["residues"] = np.asarray(out["res16"]).astype(np.int32)
+        else:
+            host["residues"] = np.asarray(out["residues"])
+        return host
+
     for s in starts:
         with m.stage("device_dispatch"):
             inflight.append(dispatch(s))
         if len(inflight) >= PIPELINE:
             out, nv, fcount = inflight.pop(0)
             with m.stage("device_fetch"):
-                out = {k: np.asarray(v) for k, v in out.items()}
+                out = fetch(out)
             with m.stage("host_pack"):
                 frames.extend(_pack_chunk(out, nv, fcount))
             m.count("frames", fcount)
     for out, nv, fcount in inflight:
         with m.stage("device_fetch"):
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = fetch(out)
         with m.stage("host_pack"):
             frames.extend(_pack_chunk(out, nv, fcount))
         m.count("frames", fcount)
@@ -150,13 +169,14 @@ def _pack_chunk_native(nat, out: dict, n_valid: np.ndarray,
     order = np.ascontiguousarray(out["order"][:fcount].reshape(-1), np.int32)
     k_coeff = np.ascontiguousarray(out["k_coeff"][:fcount].reshape(-1), np.int32)
     k_res = np.ascontiguousarray(out["k_res"][:fcount].reshape(-1), np.int32)
+    k_res4 = np.ascontiguousarray(out["k_res4"][:fcount].reshape(-1), np.int32)
     sftype = np.ascontiguousarray(out["sftype"][:fcount].reshape(-1), np.int32)
 
     res_counts = np.repeat(nv, C)
     erows = out["residues"][:fcount].reshape(fcount * C, S)
     evals = erows[np.arange(S)[None, :] < res_counts[:, None]]
     res_words, res_wc = nat.pack_blocks_flat(
-        evals, _exclusive_cumsum(res_counts), res_counts, k_res)
+        evals, _exclusive_cumsum(res_counts), res_counts, k_res, k_res4)
 
     qrows = out["qcoeffs"][:fcount].reshape(fcount * C, -1)
     qvals = qrows[np.arange(qrows.shape[1])[None, :] < order[:, None]]
@@ -167,7 +187,7 @@ def _pack_chunk_native(nat, out: dict, n_valid: np.ndarray,
         fcount, C, SYNC, nv,
         np.tile(np.arange(C, dtype=np.int32), fcount), sftype, order,
         k_coeff, coeff_wc.astype(np.int32), k_res, res_wc.astype(np.int32),
-        coeff_words, res_words,
+        coeff_words, res_words, sf_kr4=k_res4,
     )
     return [blob]
 
@@ -177,15 +197,24 @@ def _pack_chunk(out: dict, n_valid: np.ndarray, fcount: int) -> list[bytes]:
     nat = _native()
     if nat is not None:
         return _pack_chunk_native(nat, out, n_valid, fcount)
+    from ..format import RICE_PARTITION_MARKER
+
     _, C, S = out["residues"].shape
+
+    def sub_ks(f, c):
+        kk = int(out["k_res4"][f, c])
+        return [(kk >> (8 * q)) & 0xFF for q in range(4)]
+
     res_blocks = []
     coeff_blocks = []
     for f in range(fcount):
         for c in range(C):
             o = int(out["order"][f, c])
-            res_blocks.append(
-                (out["residues"][f, c, : n_valid[f]], int(out["k_res"][f, c]))
-            )
+            kr = int(out["k_res"][f, c])
+            res_blocks.append((
+                out["residues"][f, c, : n_valid[f]],
+                sub_ks(f, c) if kr == RICE_PARTITION_MARKER else kr,
+            ))
             coeff_blocks.append(
                 (out["qcoeffs"][f, c, :o], int(out["k_coeff"][f, c]))
             )
@@ -197,15 +226,19 @@ def _pack_chunk(out: dict, n_valid: np.ndarray, fcount: int) -> list[bytes]:
     for f in range(fcount):
         subframes = []
         for c in range(C):
+            kr = int(out["k_res"][f, c])
             sf = SubFrame(
                 channel=c,
                 sftype=int(out["sftype"][f, c]),
                 order=int(out["order"][f, c]),
                 k_coeff=int(out["k_coeff"][f, c]),
                 coeff_words=coeff_words[i],
-                k_res=int(out["k_res"][f, c]),
+                k_res=kr,
                 res_words=res_words[i],
                 n_samples=int(n_valid[f]),
+                k_res_sub=(
+                    sub_ks(f, c) if kr == RICE_PARTITION_MARKER else None
+                ),
             )
             subframes.append(sf)
             i += 1

@@ -58,10 +58,11 @@ def default_fused(allow_ms: bool = True) -> bool:
 
 
 @partial(jax.jit,
-         static_argnames=("allow_ms", "max_order", "rice_k_max", "fused"))
+         static_argnames=("allow_ms", "max_order", "rice_k_max", "fused",
+                          "partition"))
 def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
                 max_order: int = MAX_ORDER, rice_k_max: int | None = None,
-                fused: bool = False):
+                fused: bool = False, partition: int = 1):
     """Full encode analysis+render for one chunk.
 
     x: [F, C, S] int32 zero-padded, n_valid: [F] int32. allow_ms=False
@@ -69,11 +70,14 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
     max_order / rice_k_max are BitstreamProfile caps (static; defaults are
     the FORMAT.md v1 profile). fused=True routes the FIR + residue Rice
     planning through the fused Pallas kernel (TPU; bit-identical outputs —
-    see default_fused()).
+    see default_fused()). partition=4 enables adaptive partitioned residues
+    (FORMAT.md §Partitioned residues): per subframe, the cheaper of the
+    plain and partitioned encodings is planned — same rule as the oracle.
     Returns dict of per-(frame, channel) planning arrays + residues, where the
     mid/side decision has already been applied:
       residues [F, C, S], order [F, C], qcoeffs [F, C, MAX_ORDER],
-      k_res/k_coeff [F, C], sftype [F, C], nw_res/nw_coeff [F, C].
+      k_res/k_coeff [F, C], k_res4 [F, C] (byte-packed sub-ks, 0 unless
+      k_res == RICE_PARTITION_MARKER), sftype [F, C], nw_res/nw_coeff [F, C].
     """
     from ..format import RICE_K_MAX
 
@@ -109,17 +113,55 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
         fir = filters.fir_residues_fast if allow_ms else filters.fir_residues
         e, eff_order = fir(xb, c, order, nv)
         k_res, bits_res, nw_res = rice.plan_blocks(e, nv, rice_k_max)
+    # adaptive partitioned residues: plan each quarter independently and use
+    # the partitioned form where it is strictly smaller (oracle rule:
+    # padded-word bits + one k byte per sub-block vs padded-word bits)
+    from ..format import RICE_PARTITION_MARKER
+
+    kr4 = jnp.zeros_like(k_res)
+    part_extra_bits = jnp.zeros_like(k_res)
+    if partition > 1:
+        # barrier: without it XLA re-fuses the 32-tap FIR producer into each
+        # of the 4x32 quarter popcount reductions below and compilation
+        # explodes (>30 CPU-minutes observed; 6 s with the barrier)
+        u = rice.zigzag(jax.lax.optimization_barrier(e))
+        iota = jnp.arange(S)[None, :]
+        nv32 = nv.astype(jnp.int32)
+        u = jnp.where(iota < nv32[:, None], u, jnp.uint32(0))
+        ks_q = []
+        part_bits = jnp.zeros_like(k_res)
+        for qi in range(partition):
+            lo = (qi * nv32) // partition
+            hi = ((qi + 1) * nv32) // partition
+            m = (iota >= lo[:, None]) & (iota < hi[:, None])
+            cq = rice.bit_counts(jnp.where(m, u, jnp.uint32(0)))
+            kq, bq = rice.k_and_bits_from_counts(cq, hi - lo, rice_k_max)
+            ks_q.append(kq)
+            part_bits = part_bits + bq
+        nw_part = rice.block_words(part_bits)
+        use_part = (nv32 >= partition) & (
+            32 * nw_part + 8 * partition < 32 * nw_res
+        )
+        packed = ks_q[0]
+        for qi in range(1, partition):
+            packed = packed | (ks_q[qi] << (8 * qi))
+        kr4 = jnp.where(use_part, packed, 0)
+        k_res = jnp.where(use_part, RICE_PARTITION_MARKER, k_res)
+        nw_res = jnp.where(use_part, nw_part, nw_res)
+        part_extra_bits = jnp.where(use_part, 8 * partition, 0)
+
     cols = jnp.arange(MAX_ORDER)[None, :]
     q_eff = jnp.where(cols < eff_order[:, None], q, 0)
 
     k_coeff, bits_coeff, nw_coeff = rice.plan_blocks(q_eff, eff_order, rice_k_max)
-    block_bits = 32 * (nw_res + nw_coeff)  # oracle decision metric
+    # oracle decision metric (incl. the partitioned header's extra k bytes)
+    block_bits = 32 * (nw_res + nw_coeff) + part_extra_bits
 
     def g2(a):
         return a.reshape(F, C2, *a.shape[1:])
 
     e, eff_order, q_eff = g2(e), g2(eff_order), g2(q_eff)
-    k_res, k_coeff = g2(k_res), g2(k_coeff)
+    k_res, k_coeff, kr4 = g2(k_res), g2(k_coeff), g2(kr4)
     nw_res, nw_coeff = g2(nw_res), g2(nw_coeff)
     bb = g2(block_bits)
 
@@ -159,11 +201,20 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
                 cols.append(a[:, c])
         return jnp.stack(cols, axis=1)
 
+    res = pick(e)
+    # int16 wire format for the device->host residue fetch: residues of
+    # musical content almost always fit int16, halving the dominant D2H
+    # transfer (the host fetches res16 when fits16 says every frame fits,
+    # falling back to the exact int32 array otherwise — encoder.py).
+    fits16 = jnp.all(jnp.abs(res) < (1 << 15), axis=(1, 2)).astype(jnp.int32)
     return dict(
-        residues=pick(e),
+        residues=res,
+        res16=res.astype(jnp.int16),
+        fits16=fits16,
         order=pick(eff_order),
         qcoeffs=pick(q_eff),
         k_res=pick(k_res),
+        k_res4=pick(kr4),
         k_coeff=pick(k_coeff),
         nw_res=pick(nw_res),
         nw_coeff=pick(nw_coeff),
@@ -184,6 +235,9 @@ def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
     """
     F, C, S = residues.shape
     B = F * C
+    # accept int16 wire residues (host sends them when every value fits —
+    # halves the host->device transfer); codec math is int32
+    residues = residues.astype(jnp.int32)
     g = coeffs.dequantize_reflection(qcoeffs.reshape(B, -1))
     c = coeffs.reflection_to_lpc(g, order.reshape(B))
     e2 = residues.reshape(B, S)

@@ -70,7 +70,9 @@ def decode_stream(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
             n_valid[f] = ns
             for sf in subframes:
                 blocks.append((sf.coeff_words, sf.order, sf.k_coeff))
-                blocks.append((sf.res_words, sf.n_samples, sf.k_res))
+                # partitioned residues carry their sub-ks (FORMAT.md)
+                kr = sf.k_res_sub if sf.k_res_sub is not None else sf.k_res
+                blocks.append((sf.res_words, sf.n_samples, kr))
                 meta.append((f, sf.channel, sf.order, sf.sftype, sf.n_samples))
         values = unpack_blocks(blocks)
         for i, (fi, ch, order, t, ns) in enumerate(meta):

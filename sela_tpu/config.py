@@ -33,6 +33,11 @@ class BitstreamProfile:
     max_order: int = MAX_ORDER          # LPC order search cap, <= MAX_ORDER
     rice_k_max: int = RICE_K_MAX        # optimal-k search cap, <= RICE_K_MAX
     mid_side: str = "auto"              # auto | off (auto: per-frame cost rule)
+    # 1 = one k per residue block (v1 default); RESIDUE_PARTS (4) = adaptive
+    # partitioned residues (FORMAT.md §Partitioned residues): the encoder
+    # emits the partitioned form only for subframes where it is smaller, so
+    # ratio never regresses. Default-off to keep the v1 stream frozen.
+    residue_partition: int = 1
 
     def validate(self) -> "BitstreamProfile":
         if not 32 <= self.frame_size <= FRAME_SIZE:
@@ -45,6 +50,12 @@ class BitstreamProfile:
             raise ValueError(f"rice_k_max {self.rice_k_max} outside [0, {RICE_K_MAX}]")
         if self.mid_side not in ("auto", "off"):
             raise ValueError(f"mid_side must be auto|off, got {self.mid_side!r}")
+        from .format import RESIDUE_PARTS
+
+        if self.residue_partition not in (1, RESIDUE_PARTS):
+            raise ValueError(
+                f"residue_partition must be 1 or {RESIDUE_PARTS}, "
+                f"got {self.residue_partition}")
         return self
 
     @property

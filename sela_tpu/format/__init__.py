@@ -27,6 +27,13 @@ Q_CLAMP_HI = 63
 RICE_K_MAX = 30            # optimal-k search range [0, RICE_K_MAX]
 RICE_K_ESCAPE = 31         # verbatim 32-bit escape code
 
+# Partitioned residues (FORMAT.md §Partitioned residues): kRes byte == 32
+# marks a residue block split into RESIDUE_PARTS sub-blocks with independent
+# k, packed bit-contiguously. Encoder-optional (BitstreamProfile
+# residue_partition=4); all decoders accept it.
+RICE_PARTITION_MARKER = 32
+RESIDUE_PARTS = 4
+
 COEFF_BIT_COST = 7         # approx bits/coefficient used by order selection
 
 # Subframe types

@@ -113,6 +113,24 @@ inline uint64_t rice_bits(uint32_t u, int k) {
   return static_cast<uint64_t>(u >> k) + 1 + k;
 }
 
+// Partitioned residues (FORMAT.md §Partitioned residues): k byte 32 marks a
+// block split into 4 sub-blocks with independent ks (packed bit-contiguous).
+constexpr int kPartitionMarker = 32;
+constexpr int kResidueParts = 4;
+
+// Per-value k for value j of an n-value block: sub-block q spans
+// [q*n/4, (q+1)*n/4). ks4 holds the packed sub-ks (k0 | k1<<8 | ...).
+inline int part_k(int32_t j, int32_t n, int32_t ks4) {
+  // branchless sub-block index: q such that j in [q*n/4, (q+1)*n/4)
+  int q = static_cast<int>((static_cast<int64_t>(j) * kResidueParts) / n);
+  // guard the exact boundary: j*4/n can land one past due to flooring rules
+  while (q > 0 && j < (static_cast<int64_t>(q) * n) / kResidueParts) --q;
+  while (q < kResidueParts - 1 &&
+         j >= (static_cast<int64_t>(q + 1) * n) / kResidueParts)
+    ++q;
+  return (ks4 >> (8 * q)) & 0xFF;
+}
+
 void parallel_for(int64_t count, void (*fn)(int64_t, void*), void* ctx) {
   unsigned hw = std::thread::hardware_concurrency();
   if (hw == 0) hw = 2;
@@ -141,53 +159,66 @@ extern "C" {
 
 // Pass 1: exact word count per block (so Python can allocate output).
 // values: concatenated int32; offs[i]..offs[i]+counts[i] is block i;
-// ks[i] in [0, 31]. Returns per-block word counts in out_words.
+// ks[i] in [0, 31], or 32 (partition marker) with the 4 sub-block ks packed
+// byte-wise into ks4[i] (pass ks4 = nullptr when no block is partitioned).
 void rice_block_words(const int32_t* values, const int64_t* offs,
                       const int32_t* counts, const int32_t* ks,
-                      int64_t n_blocks, int64_t* out_words) {
+                      const int32_t* ks4, int64_t n_blocks,
+                      int64_t* out_words) {
   struct Ctx {
     const int32_t* values;
     const int64_t* offs;
     const int32_t* counts;
     const int32_t* ks;
+    const int32_t* ks4;
     int64_t* out_words;
-  } ctx{values, offs, counts, ks, out_words};
+  } ctx{values, offs, counts, ks, ks4, out_words};
   parallel_for(
       n_blocks,
       [](int64_t i, void* p) {
         auto& c = *static_cast<Ctx*>(p);
         const int32_t* v = c.values + c.offs[i];
         int k = c.ks[i];
+        int32_t n = c.counts[i];
         uint64_t bits = 0;
-        for (int32_t j = 0; j < c.counts[i]; ++j)
-          bits += rice_bits(zigzag(v[j]), k);
+        if (k == kPartitionMarker) {
+          int32_t kk = c.ks4[i];
+          for (int32_t j = 0; j < n; ++j)
+            bits += rice_bits(zigzag(v[j]), part_k(j, n, kk));
+        } else {
+          for (int32_t j = 0; j < n; ++j) bits += rice_bits(zigzag(v[j]), k);
+        }
         c.out_words[i] = static_cast<int64_t>((bits + 31) / 32);
       },
       &ctx);
 }
 
 // Pass 2: pack. word_offs are exclusive prefix sums of rice_block_words
-// output; out must hold sum(words).
+// output; out must hold sum(words). Partitioned blocks (ks[i] == 32) pack
+// their sub-blocks bit-contiguously with per-sub ks from ks4[i].
 void rice_pack_blocks(const int32_t* values, const int64_t* offs,
                       const int32_t* counts, const int32_t* ks,
-                      const int64_t* word_offs, int64_t n_blocks,
-                      uint32_t* out) {
+                      const int32_t* ks4, const int64_t* word_offs,
+                      int64_t n_blocks, uint32_t* out) {
   struct Ctx {
     const int32_t* values;
     const int64_t* offs;
     const int32_t* counts;
     const int32_t* ks;
+    const int32_t* ks4;
     const int64_t* word_offs;
     uint32_t* out;
-  } ctx{values, offs, counts, ks, word_offs, out};
+  } ctx{values, offs, counts, ks, ks4, word_offs, out};
   parallel_for(
       n_blocks,
       [](int64_t i, void* p) {
         auto& c = *static_cast<Ctx*>(p);
         const int32_t* v = c.values + c.offs[i];
-        int k = c.ks[i];
+        int kb = c.ks[i];
+        int32_t n = c.counts[i];
         BitWriter bw{c.out + c.word_offs[i]};
-        for (int32_t j = 0; j < c.counts[i]; ++j) {
+        for (int32_t j = 0; j < n; ++j) {
+          int k = (kb == kPartitionMarker) ? part_k(j, n, c.ks4[i]) : kb;
           uint32_t u = zigzag(v[j]);
           if (k == 31) {
             bw.put32(u);
@@ -208,11 +239,12 @@ void rice_pack_blocks(const int32_t* values, const int64_t* offs,
 }
 
 // Unpack: words concatenated; per block word_offs/word_counts,
-// value offs/counts, ks. out holds concatenated int32 values.
+// value offs/counts, ks (+ks4 sub-ks for partitioned blocks).
+// out holds concatenated int32 values.
 void rice_unpack_blocks(const uint32_t* words, const int64_t* word_offs,
                         const int32_t* word_counts, const int64_t* offs,
                         const int32_t* counts, const int32_t* ks,
-                        int64_t n_blocks, int32_t* out) {
+                        const int32_t* ks4, int64_t n_blocks, int32_t* out) {
   struct Ctx {
     const uint32_t* words;
     const int64_t* word_offs;
@@ -220,17 +252,20 @@ void rice_unpack_blocks(const uint32_t* words, const int64_t* word_offs,
     const int64_t* offs;
     const int32_t* counts;
     const int32_t* ks;
+    const int32_t* ks4;
     int32_t* out;
-  } ctx{words, word_offs, word_counts, offs, counts, ks, out};
+  } ctx{words, word_offs, word_counts, offs, counts, ks, ks4, out};
   parallel_for(
       n_blocks,
       [](int64_t i, void* p) {
         auto& c = *static_cast<Ctx*>(p);
         BitReader br{c.words + c.word_offs[i],
                      static_cast<size_t>(c.word_counts[i])};
-        int k = c.ks[i];
+        int kb = c.ks[i];
+        int32_t n = c.counts[i];
         int32_t* o = c.out + c.offs[i];
-        for (int32_t j = 0; j < c.counts[i]; ++j) {
+        for (int32_t j = 0; j < n; ++j) {
+          int k = (kb == kPartitionMarker) ? part_k(j, n, c.ks4[i]) : kb;
           uint32_t u;
           if (k == 31) {
             u = br.get(32);
@@ -289,7 +324,7 @@ int64_t sela_scan_frames(const uint8_t* buf, int64_t len, int64_t pos,
                          int32_t max_samples, int32_t* n_samples,
                          int32_t* sf_channel, int32_t* sf_type,
                          int32_t* sf_order, int32_t* sf_kc, int32_t* sf_nwc,
-                         int32_t* sf_kr, int32_t* sf_nwr,
+                         int32_t* sf_kr, int32_t* sf_kr4, int32_t* sf_nwr,
                          uint32_t* coeff_words, int64_t* coeff_total,
                          uint32_t* res_words, int64_t* res_total) {
   int64_t cw = 0, rw = 0;
@@ -321,7 +356,23 @@ int64_t sela_scan_frames(const uint8_t* buf, int64_t len, int64_t pos,
       cw += nwc;
       pos += 4 * nwc;
       if (pos + 5 > len) return -(pos + 1);
-      sf_kr[s] = buf[pos];
+      int kr = buf[pos];
+      sf_kr[s] = kr;
+      sf_kr4[s] = 0;
+      if (kr == kPartitionMarker) {
+        // FORMAT.md §Partitioned residues: 4 sub-block ks follow the marker
+        if (pos + 1 + kResidueParts + 4 > len) return -(pos + 1);
+        int32_t kk = 0;
+        for (int q = 0; q < kResidueParts; ++q) {
+          uint8_t sk = buf[pos + 1 + q];
+          if (sk > 31) return -(pos + 1);
+          kk |= static_cast<int32_t>(sk) << (8 * q);
+        }
+        sf_kr4[s] = kk;
+        pos += kResidueParts;
+      } else if (kr > 31) {
+        return -(pos + 1);
+      }
       int64_t nwr = ld_u32(buf + pos + 1);
       pos += 5;
       if (nwr < 0 || pos + 4 * nwr > len) return -(pos + 1);
@@ -343,9 +394,9 @@ int64_t sela_emit_frames(int32_t num_frames, int32_t channels, uint32_t sync,
                          const int32_t* n_samples, const int32_t* sf_channel,
                          const int32_t* sf_type, const int32_t* sf_order,
                          const int32_t* sf_kc, const int32_t* sf_nwc,
-                         const int32_t* sf_kr, const int32_t* sf_nwr,
-                         const uint32_t* coeff_words, const uint32_t* res_words,
-                         uint8_t* out) {
+                         const int32_t* sf_kr, const int32_t* sf_kr4,
+                         const int32_t* sf_nwr, const uint32_t* coeff_words,
+                         const uint32_t* res_words, uint8_t* out) {
   int64_t pos = 0, cw = 0, rw = 0, s = 0;
   for (int32_t f = 0; f < num_frames; ++f) {
     std::memcpy(out + pos, &sync, 4);
@@ -364,6 +415,11 @@ int64_t sela_emit_frames(int32_t num_frames, int32_t channels, uint32_t sync,
       cw += sf_nwc[s];
       pos += 4ll * sf_nwc[s];
       out[pos] = static_cast<uint8_t>(sf_kr[s]);
+      if (sf_kr[s] == kPartitionMarker) {
+        for (int q = 0; q < kResidueParts; ++q)
+          out[pos + 1 + q] = static_cast<uint8_t>((sf_kr4[s] >> (8 * q)) & 0xFF);
+        pos += kResidueParts;
+      }
       uint32_t nwr = static_cast<uint32_t>(sf_nwr[s]);
       std::memcpy(out + pos + 1, &nwr, 4);
       pos += 5;

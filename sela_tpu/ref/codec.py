@@ -28,19 +28,21 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
     n = w.n_samples
     if n == 0:
         raise ValueError("empty audio")
-    max_order, rice_k_max, allow_ms = 32, 30, True
+    max_order, rice_k_max, allow_ms, partition = 32, 30, True, 1
     if profile is not None:
         profile.validate()
         frame_size = profile.frame_size
         max_order = profile.max_order
         rice_k_max = profile.rice_k_max
         allow_ms = profile.mid_side != "off"
+        partition = profile.residue_partition
     allow_ms = allow_ms and w.bits_per_sample <= 24
     frames = []
     for start in range(0, n, frame_size):
         stop = min(start + frame_size, n)
         chans = [c[start:stop] for c in w.channels]
-        subframes = frame.encode_frame(chans, max_order, rice_k_max, allow_ms)
+        subframes = frame.encode_frame(chans, max_order, rice_k_max, allow_ms,
+                                       partition)
         frames.append(container.serialize_frame(subframes, stop - start))
     header = container.SelaHeader(
         w.sample_rate, w.bits_per_sample, w.n_channels, len(frames)

@@ -11,7 +11,15 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..errors import ContainerError  # noqa: F401  (re-export: stable API)
-from ..format import MAGIC, MAX_FRAME_SAMPLES, SYNC, TAG_MAGIC, TAG_MAX_BYTES
+from ..format import (
+    MAGIC,
+    MAX_FRAME_SAMPLES,
+    RESIDUE_PARTS,
+    RICE_PARTITION_MARKER,
+    SYNC,
+    TAG_MAGIC,
+    TAG_MAX_BYTES,
+)
 from .frame import SubFrame
 
 
@@ -29,9 +37,18 @@ def serialize_subframe(sf: SubFrame) -> bytes:
             "<BBBBH", sf.channel, sf.sftype, sf.order, sf.k_coeff, len(sf.coeff_words)
         ),
         np.asarray(sf.coeff_words, dtype="<u4").tobytes(),
-        struct.pack("<BI", sf.k_res, len(sf.res_words)),
-        np.asarray(sf.res_words, dtype="<u4").tobytes(),
     ]
+    if sf.k_res == RICE_PARTITION_MARKER:
+        # FORMAT.md §Partitioned residues: marker byte, then one k per
+        # sub-block, then the usual word count
+        assert sf.k_res_sub is not None and len(sf.k_res_sub) == RESIDUE_PARTS
+        parts.append(struct.pack(
+            f"<B{RESIDUE_PARTS}BI", RICE_PARTITION_MARKER,
+            *[int(k) for k in sf.k_res_sub], len(sf.res_words),
+        ))
+    else:
+        parts.append(struct.pack("<BI", sf.k_res, len(sf.res_words)))
+    parts.append(np.asarray(sf.res_words, dtype="<u4").tobytes())
     return b"".join(parts)
 
 
@@ -86,15 +103,27 @@ def parse_subframe(buf: bytes, pos: int, n_samples: int) -> tuple[SubFrame, int]
     pos += 4 * nwc
     if pos + 5 > len(buf):
         raise ContainerError("truncated residue block header")
-    k_r, nwr = struct.unpack_from("<BI", buf, pos)
-    if k_r > RICE_K_ESCAPE:
+    k_r = buf[pos]
+    k_sub = None
+    if k_r == RICE_PARTITION_MARKER:
+        # FORMAT.md §Partitioned residues: 4 sub-block ks follow the marker
+        if pos + 1 + RESIDUE_PARTS + 4 > len(buf):
+            raise ContainerError("truncated partitioned residue header")
+        k_sub = list(buf[pos + 1 : pos + 1 + RESIDUE_PARTS])
+        if any(k > RICE_K_ESCAPE for k in k_sub):
+            raise ContainerError(f"partitioned residue rice k {k_sub} out of range")
+        (nwr,) = struct.unpack_from("<I", buf, pos + 1 + RESIDUE_PARTS)
+        pos += 1 + RESIDUE_PARTS + 4
+    elif k_r > RICE_K_ESCAPE:
         raise ContainerError(f"residue rice k {k_r} out of range")
-    pos += 5
+    else:
+        (nwr,) = struct.unpack_from("<I", buf, pos + 1)
+        pos += 5
     if pos + 4 * nwr > len(buf):
         raise ContainerError("truncated residue block")
     rw = np.frombuffer(buf, dtype="<u4", count=nwr, offset=pos).astype(np.uint32)
     pos += 4 * nwr
-    return SubFrame(ch, sftype, order, k_c, cw, k_r, rw, n_samples), pos
+    return SubFrame(ch, sftype, order, k_c, cw, k_r, rw, n_samples, k_sub), pos
 
 
 def serialize_tags(tags: dict) -> bytes:

@@ -27,9 +27,12 @@ class SubFrame:
     order: int
     k_coeff: int
     coeff_words: np.ndarray  # uint32
-    k_res: int
+    k_res: int               # 0..31, or RICE_PARTITION_MARKER (32)
     res_words: np.ndarray    # uint32
     n_samples: int
+    # sub-block ks when k_res == RICE_PARTITION_MARKER (FORMAT.md
+    # §Partitioned residues), else None
+    k_res_sub: list[int] | None = None
 
 
 def mid_side(left: np.ndarray, right: np.ndarray):
@@ -48,23 +51,46 @@ def inverse_mid_side(mid: np.ndarray, side: np.ndarray):
     return left.astype(np.int32), right.astype(np.int32)
 
 
-def _encode_signal(x: np.ndarray, max_order: int = 32, rice_k_max: int = 30):
+def _encode_signal(x: np.ndarray, max_order: int = 32, rice_k_max: int = 30,
+                   partition: int = 1):
     """Full per-signal path: analyze -> render -> rice. Returns (subframe
-    fields minus channel/type, exact total payload bits)."""
+    fields minus channel/type, exact total payload bits).
+
+    partition > 1 enables the adaptive partitioned-residue mode (FORMAT.md
+    §Partitioned residues): the encoder costs both the plain block and the
+    partitioned block (sub-block ks + 4 header bytes) exactly, and emits
+    whichever is smaller — so enabling it never increases any subframe."""
+    from ..format import RICE_PARTITION_MARKER
+
     order, q = lpc.analyze_channel(x, max_order)
     order, q, e = lpc.render_channel(x, order, q)
     k_c, cw = rice.encode(q, k_max=rice_k_max)
-    k_r, rw = rice.encode(e, k_max=rice_k_max)
-    bits = 32 * (len(cw) + len(rw))
-    return order, q, k_c, cw, k_r, rw, bits
+    u = rice.zigzag(e)
+    k_r = rice.optimal_k(u, rice_k_max)
+    plain_bits = int(rice.bit_lengths(u, k_r).sum())
+    ks = None
+    if partition > 1 and len(e) >= partition:
+        ks_p, part_bits = rice.partitioned_cost_bits(e, partition, rice_k_max)
+        # partitioned payload pays `partition` extra k bytes in the header
+        if 32 * -(-part_bits // 32) + 8 * partition < 32 * -(-plain_bits // 32):
+            ks = ks_p
+    if ks is not None:
+        k_r = RICE_PARTITION_MARKER
+        _, rw = rice.encode_partitioned(e, partition, rice_k_max)
+        bits = 32 * (len(cw) + len(rw)) + 8 * partition
+    else:
+        k_r, rw = rice.encode(e, k=k_r, k_max=rice_k_max)
+        bits = 32 * (len(cw) + len(rw))
+    return order, q, k_c, cw, k_r, rw, ks, bits
 
 
 def encode_frame(channels: list[np.ndarray], max_order: int = 32,
-                 rice_k_max: int = 30, allow_ms: bool = True) -> list[SubFrame]:
+                 rice_k_max: int = 30, allow_ms: bool = True,
+                 partition: int = 1) -> list[SubFrame]:
     nch = len(channels)
     n = len(channels[0]) if nch else 0
     subframes: list[SubFrame] = []
-    enc = lambda x: _encode_signal(x, max_order, rice_k_max)
+    enc = lambda x: _encode_signal(x, max_order, rice_k_max, partition)
     ch = 0
     while ch < nch:
         if ch + 1 < nch:
@@ -83,12 +109,16 @@ def encode_frame(channels: list[np.ndarray], max_order: int = 32,
             else:
                 picks = [(SF_DIRECT, enc_l), (SF_DIRECT, enc_r)]
             for off, (t, e) in enumerate(picks):
-                order, q, k_c, cw, k_r, rw, _ = e
-                subframes.append(SubFrame(ch + off, t, order, k_c, cw, k_r, rw, n))
+                order, q, k_c, cw, k_r, rw, ks, _ = e
+                subframes.append(
+                    SubFrame(ch + off, t, order, k_c, cw, k_r, rw, n, ks)
+                )
             ch += 2
         else:
-            order, q, k_c, cw, k_r, rw, _ = enc(channels[ch])
-            subframes.append(SubFrame(ch, SF_DIRECT, order, k_c, cw, k_r, rw, n))
+            order, q, k_c, cw, k_r, rw, ks, _ = enc(channels[ch])
+            subframes.append(
+                SubFrame(ch, SF_DIRECT, order, k_c, cw, k_r, rw, n, ks)
+            )
             ch += 1
     return subframes
 
@@ -127,11 +157,17 @@ def decode_frame(subframes: list[SubFrame], nch: int) -> list[np.ndarray]:
     validate_subframe_layout(
         [sf.channel for sf in subframes], [sf.sftype for sf in subframes], nch
     )
+    from ..format import RICE_PARTITION_MARKER
+
     raw: list[np.ndarray] = [None] * nch  # type: ignore[list-item]
     types = [SF_DIRECT] * nch
     for sf in subframes:
         q = rice.decode(sf.coeff_words, sf.order, sf.k_coeff)
-        e = rice.decode(sf.res_words, sf.n_samples, sf.k_res)
+        if sf.k_res == RICE_PARTITION_MARKER:
+            e = rice.decode_partitioned(sf.res_words, sf.n_samples,
+                                        sf.k_res_sub)
+        else:
+            e = rice.decode(sf.res_words, sf.n_samples, sf.k_res)
         raw[sf.channel] = lpc.reconstruct_channel(e, sf.order, q)
         types[sf.channel] = sf.sftype
     out: list[np.ndarray] = [None] * nch  # type: ignore[list-item]

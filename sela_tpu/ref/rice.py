@@ -57,6 +57,61 @@ def bit_lengths(u: np.ndarray, k: int) -> np.ndarray:
     return ((u >> np.uint64(k)) + 1 + k).astype(np.int64)
 
 
+def _pack_bits(u: np.ndarray, kv: np.ndarray) -> np.ndarray:
+    """Core packer: zigzag values u with PER-VALUE parameter kv -> u32 words.
+
+    Bit layout per value is the normative one (unary quotient + stop + k low
+    bits; k == 31 -> 32 verbatim bits). Values with different k pack
+    bit-contiguously — this is what makes partitioned residue blocks
+    (FORMAT.md §Partitioned residues) byte-free at sub-block boundaries.
+    """
+    n = len(u)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    kv = np.asarray(kv, dtype=np.int64)
+    esc = kv == RICE_K_ESCAPE
+    lens = np.where(esc, 32, (u >> np.minimum(kv, 31).astype(np.uint64)) + 1 + kv)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    total = int(offs[-1])
+    if total > (1 << 28):
+        # only reachable by FORCING k far below optimal (optimal-k planning
+        # escapes to verbatim at 32 bits/value); the difference-array packer
+        # below allocates O(total bits), so refuse instead of swapping
+        raise ValueError(
+            f"forced k yields {total} bits for {n} values — "
+            "use optimal k (escape caps the stream at 32 bits/value)"
+        )
+    nbits_padded = -(-total // 32) * 32
+    bits = np.zeros(nbits_padded, dtype=np.uint8)
+
+    q = np.where(esc, 0, (u >> kv.astype(np.uint64)).astype(np.int64))
+    # unary run of q ones starting at offs[i]: disjoint ranges via
+    # difference-array + cumsum (escape values have q = 0: no unary part)
+    delta = np.zeros(nbits_padded + 1, dtype=np.int64)
+    starts = offs[:-1]
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, starts + q, -1)
+    bits |= (np.cumsum(delta[:-1]) > 0).astype(np.uint8)
+
+    # remainder bits: rem_bits = kv (or 32 for escape), stop bit skipped
+    # for escape. Grouped by distinct k to stay vectorized.
+    for k in np.unique(kv):
+        sel = kv == k
+        if k == RICE_K_ESCAPE:
+            rem_bits, stop = 32, 0
+        else:
+            rem_bits, stop = int(k), 1
+        if rem_bits == 0:
+            continue
+        pos = (offs[:-1][sel] + q[sel] + stop)[:, None] + np.arange(rem_bits)
+        shifts = np.uint64(rem_bits - 1) - np.arange(rem_bits, dtype=np.uint64)
+        vals = ((u[sel][:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        bits[pos.ravel()] = vals.ravel()
+
+    packed = np.packbits(bits)  # MSB-first bytes
+    return packed.view(">u4").astype(np.uint32)
+
+
 def encode(values: np.ndarray, k: int | None = None,
            k_max: int = RICE_K_MAX) -> tuple[int, np.ndarray]:
     """Encode int32 values; returns (k, uint32 words)."""
@@ -67,46 +122,56 @@ def encode(values: np.ndarray, k: int | None = None,
     n = len(u)
     if n == 0:
         return k, np.zeros(0, dtype=np.uint32)
+    return k, _pack_bits(u, np.full(n, k, np.int64))
 
-    lens = bit_lengths(u, k)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    total = int(offs[-1])
-    if total > (1 << 28):
-        # only reachable by FORCING k far below optimal (optimal-k planning
-        # escapes to verbatim at 32 bits/value); the difference-array packer
-        # below allocates O(total bits), so refuse instead of swapping
-        raise ValueError(
-            f"forced k={k} yields {total} bits for {n} values — "
-            "use optimal k (escape caps the stream at 32 bits/value)"
-        )
-    nbits_padded = -(-total // 32) * 32
-    bits = np.zeros(nbits_padded, dtype=np.uint8)
 
-    if k == RICE_K_ESCAPE:
-        q = np.zeros(n, dtype=np.int64)
-        rem_bits = 32
-    else:
-        q = (u >> np.uint64(k)).astype(np.int64)
-        rem_bits = k
-        # unary run of q ones starting at offs[i]: disjoint ranges via
-        # difference-array + cumsum
-        delta = np.zeros(nbits_padded + 1, dtype=np.int64)
-        starts = offs[:-1]
-        np.add.at(delta, starts, 1)
-        np.add.at(delta, starts + q, -1)
-        bits |= (np.cumsum(delta[:-1]) > 0).astype(np.uint8)
-        # the stop (zero) bit at starts + q is already 0
+def partition_bounds(n: int, n_parts: int) -> list[tuple[int, int]]:
+    """Sub-block [lo, hi) bounds: part q holds [q*n//P, (q+1)*n//P). NORMATIVE."""
+    return [(q * n // n_parts, (q + 1) * n // n_parts) for q in range(n_parts)]
 
-    if rem_bits > 0:
-        stop = 0 if k == RICE_K_ESCAPE else 1
-        pos = (offs[:-1] + q + stop)[:, None] + np.arange(rem_bits)
-        shifts = np.uint64(rem_bits - 1) - np.arange(rem_bits, dtype=np.uint64)
-        vals = ((u[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-        bits[pos.ravel()] = vals.ravel()
 
-    packed = np.packbits(bits)  # MSB-first bytes
-    words = packed.view(">u4").astype(np.uint32)
-    return k, words
+def encode_partitioned(values: np.ndarray, n_parts: int = 4,
+                       k_max: int = RICE_K_MAX) -> tuple[list[int], np.ndarray]:
+    """Partitioned residue coding (FORMAT.md §Partitioned residues):
+    values split into n_parts sub-blocks, each with its own optimal k,
+    packed bit-contiguously. Returns (ks list, uint32 words)."""
+    values = np.asarray(values, dtype=np.int32)
+    u = zigzag(values)
+    n = len(u)
+    kv = np.zeros(n, np.int64)
+    ks = []
+    for lo, hi in partition_bounds(n, n_parts):
+        k = optimal_k(u[lo:hi], k_max)
+        ks.append(k)
+        kv[lo:hi] = k
+    words = _pack_bits(u, kv) if n else np.zeros(0, np.uint32)
+    return ks, words
+
+
+def encode_with_sub_ks(values: np.ndarray, ks) -> np.ndarray:
+    """Pack `values` partitioned with GIVEN sub-block ks (host packing of a
+    device-planned partitioned block). Returns uint32 words."""
+    values = np.asarray(values, dtype=np.int32)
+    u = zigzag(values)
+    n = len(u)
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    kv = np.zeros(n, np.int64)
+    for (lo, hi), k in zip(partition_bounds(n, len(ks)), ks):
+        kv[lo:hi] = int(k)
+    return _pack_bits(u, kv)
+
+
+def partitioned_cost_bits(values: np.ndarray, n_parts: int = 4,
+                          k_max: int = RICE_K_MAX) -> tuple[list[int], int]:
+    """(ks, total payload bits) for partitioned coding of `values`."""
+    u = zigzag(np.asarray(values, dtype=np.int32))
+    ks, bits = [], 0
+    for lo, hi in partition_bounds(len(u), n_parts):
+        k = optimal_k(u[lo:hi], k_max)
+        ks.append(k)
+        bits += int(bit_lengths(u[lo:hi], k).sum())
+    return ks, bits
 
 
 def words_to_bits(words: np.ndarray) -> np.ndarray:
@@ -115,29 +180,26 @@ def words_to_bits(words: np.ndarray) -> np.ndarray:
     return np.unpackbits(np.frombuffer(be.tobytes(), dtype=np.uint8))
 
 
-def decode(words: np.ndarray, count: int, k: int) -> np.ndarray:
-    """Decode `count` int32 values from uint32 words with parameter k."""
-    if count == 0:
-        return np.zeros(0, dtype=np.int32)
-    bits = words_to_bits(words)
+def _decode_bits(bits: np.ndarray, zero_pos: np.ndarray, pos: int,
+                 count: int, k: int) -> tuple[np.ndarray, int]:
+    """Decode `count` zigzag values with parameter k starting at bit `pos`.
 
-    if k == RICE_K_ESCAPE:
-        b = bits[: count * 32].reshape(count, 32).astype(np.uint64)
-        shifts = np.uint64(31) - np.arange(32, dtype=np.uint64)
-        u = (b << shifts[None, :]).sum(axis=1)
-        return unzigzag(u)
-
-    zero_pos = np.flatnonzero(bits == 0)
+    Returns (u values, new bit position). Corrupted/truncated streams
+    terminate at the bit-array end and pad with zeros (same semantics as the
+    native BitReader: garbage in, bounded garbage out, never out-of-bounds).
+    """
     u = np.zeros(count, dtype=np.uint64)
-    pos = 0
-    shifts = np.uint64(k - 1) - np.arange(k, dtype=np.uint64) if k else None
     nbits = len(bits)
+    if k == RICE_K_ESCAPE:
+        b = bits[pos : pos + count * 32]
+        if len(b) < count * 32:
+            b = np.concatenate([b, np.zeros(count * 32 - len(b), np.uint8)])
+        b = b.reshape(count, 32).astype(np.uint64)
+        shifts = np.uint64(31) - np.arange(32, dtype=np.uint64)
+        u[:] = (b << shifts[None, :]).sum(axis=1)
+        return u, pos + count * 32
+    shifts = np.uint64(k - 1) - np.arange(k, dtype=np.uint64) if k else None
     for i in range(count):
-        # first zero bit at/after pos terminates the unary run; a corrupted/
-        # truncated stream may have none left — treat the stream end as the
-        # terminator and pad missing remainder bits with zeros (same
-        # semantics as the native BitReader: garbage in, bounded garbage out,
-        # never an out-of-bounds access)
         zi = np.searchsorted(zero_pos, pos, side="left")
         stop = int(zero_pos[zi]) if zi < len(zero_pos) else nbits
         q = max(stop - pos, 0)
@@ -153,7 +215,31 @@ def decode(words: np.ndarray, count: int, k: int) -> np.ndarray:
         # uint32 wrap-around exactly like the native packer's 32-bit math
         u[i] = ((q << k) | rem) & U32
         pos = stop + 1 + k
+    return u, pos
+
+
+def decode(words: np.ndarray, count: int, k: int) -> np.ndarray:
+    """Decode `count` int32 values from uint32 words with parameter k."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int32)
+    bits = words_to_bits(words)
+    u, _ = _decode_bits(bits, np.flatnonzero(bits == 0), 0, count, k)
     return unzigzag(u)
+
+
+def decode_partitioned(words: np.ndarray, count: int,
+                       ks: list[int]) -> np.ndarray:
+    """Inverse of encode_partitioned: sub-block q (bounds per
+    partition_bounds) decoded with ks[q]; sub-blocks are bit-contiguous."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int32)
+    bits = words_to_bits(words)
+    zero_pos = np.flatnonzero(bits == 0)
+    out = np.zeros(count, dtype=np.uint64)
+    pos = 0
+    for (lo, hi), k in zip(partition_bounds(count, len(ks)), ks):
+        out[lo:hi], pos = _decode_bits(bits, zero_pos, pos, hi - lo, k)
+    return unzigzag(out)
 
 
 def encoded_cost_bits(values: np.ndarray) -> tuple[int, int]:

@@ -164,6 +164,25 @@ def test_container_mutations_fast_paths_stereo(data):
     _fast_paths_survive(_mutate(data, ref_codec.encode_wav(w)))
 
 
+@settings(deadline=None, max_examples=40)
+@given(st.data())
+def test_container_mutations_partitioned_stream(data):
+    """Mutation fuzz over a profile-v2 (partitioned residues) container."""
+    from sela_tpu.config import BitstreamProfile
+
+    rng = np.random.default_rng(4)
+    burst = rng.integers(-20000, 20000, 100).astype(np.int32)
+    quiet = rng.integers(-40, 40, 600).astype(np.int32)
+    w = WavData(44100, 16, [np.concatenate([burst, quiet, burst, quiet])])
+    base = ref_codec.encode_wav(w, profile=BitstreamProfile(residue_partition=4))
+    buf = _mutate(data, base)
+    try:
+        ref_codec.decode_sela(buf)
+    except container.ContainerError:
+        pass
+    _fast_paths_survive(buf)
+
+
 @settings(deadline=None, max_examples=120)
 @given(st.data())
 def test_header_region_mutations(data):
