@@ -14,7 +14,7 @@ import numpy as np
 
 from ..format import FRAME_SIZE
 from ..ref import container
-from ..ref.frame import SubFrame
+from ..ref.frame import SubFrame, validate_subframe_layout
 from ..ref.wav import WavData
 from ..utils.bitpack import pack_blocks, unpack_blocks
 from .decoder import DEFAULT_CHUNK_FRAMES
@@ -120,6 +120,15 @@ def decode_files(bufs: list[bytes], chunk_frames: int = DEFAULT_CHUNK_FRAMES) ->
         nv = np.zeros(header.num_frames, np.int32)
         for f in range(header.num_frames):
             subframes, ns, pos = container.parse_frame(buf, pos, header.channels)
+            # normative layout rules (FORMAT.md): reject out-of-range /
+            # duplicate channel bytes and broken MID/SIDE pairing with
+            # ContainerError BEFORE the dense scatter below (an unchecked
+            # channel byte would IndexError; a duplicate would silently
+            # last-write-win) — same rule as every other decode path
+            validate_subframe_layout(
+                [sf.channel for sf in subframes],
+                [sf.sftype for sf in subframes], header.channels,
+            )
             nv[f] = ns
             sfs.append(subframes)
         container.parse_trailer(buf, pos)  # metadata passthrough; junk raises

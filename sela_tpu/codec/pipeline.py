@@ -206,7 +206,11 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
     # musical content almost always fit int16, halving the dominant D2H
     # transfer (the host fetches res16 when fits16 says every frame fits,
     # falling back to the exact int32 array otherwise — encoder.py).
-    fits16 = jnp.all(jnp.abs(res) < (1 << 15), axis=(1, 2)).astype(jnp.int32)
+    # wrap-safe range check (NOT jnp.abs: abs(INT32_MIN) wraps to INT32_MIN,
+    # which compares < 2^15 and would silently truncate that sample to 0)
+    fits16 = jnp.all(
+        (res >= -(1 << 15)) & (res < (1 << 15)), axis=(1, 2)
+    ).astype(jnp.int32)
     return dict(
         residues=res,
         res16=res.astype(jnp.int16),

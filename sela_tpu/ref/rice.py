@@ -70,7 +70,13 @@ def _pack_bits(u: np.ndarray, kv: np.ndarray) -> np.ndarray:
         return np.zeros(0, dtype=np.uint32)
     kv = np.asarray(kv, dtype=np.int64)
     esc = kv == RICE_K_ESCAPE
-    lens = np.where(esc, 32, (u >> np.minimum(kv, 31).astype(np.uint64)) + 1 + kv)
+    # keep lens/offs integral: a uint64 >> int64 mix would promote to float64
+    # (exact only below 2^53 — a fragile implicit bound in normative code)
+    lens = np.where(
+        esc,
+        np.int64(32),
+        (u >> np.minimum(kv, 31).astype(np.uint64)).astype(np.int64) + 1 + kv,
+    )
     offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
     total = int(offs[-1])
     if total > (1 << 28):

@@ -69,6 +69,27 @@ def test_jax_24bit_hires(rng, signal_factory):
         np.testing.assert_array_equal(a, b)
 
 
+def test_jax_32bit_int32_min_roundtrip(rng, signal_factory):
+    """ADVICE r2 (high): abs-based fits16 wrapped at INT32_MIN, flagging a
+    32-bit frame with one -2^31 sample as int16-safe — the int16 wire then
+    truncated it to 0 (silent loss in a lossless codec). The wrap-safe range
+    check must send such frames down the exact int32 wire."""
+    n = 2048 + 300
+    chan = np.zeros(n, np.int32)  # residues tiny everywhere except the spike
+    chan[100] = -(1 << 31)
+    w = WavData(44100, 32, [chan])
+    buf = jenc.encode_wav(w, chunk_frames=CHUNK)
+    out = jdec.decode_sela(buf, chunk_frames=CHUNK)
+    np.testing.assert_array_equal(out.channels[0], chan)
+    assert out.channels[0][100] == -(1 << 31)
+
+    from sela_tpu.codec import corpus
+
+    bufs = corpus.encode_files([w], chunk_frames=CHUNK)
+    outs = corpus.decode_files(bufs, chunk_frames=CHUNK)
+    np.testing.assert_array_equal(outs[0].channels[0], chan)
+
+
 def test_wire_dtype_parity(rng, signal_factory):
     """int16 H2D/D2H wire format (bps<=16) produces identical bytes and PCM
     to the int32 path (24-bit input drives the int32 wire)."""

@@ -50,7 +50,7 @@ def _reserialize(buf: bytes, mutate) -> bytes:
 
 def _decode_all_paths(buf: bytes, monkeypatch):
     """Run every decode path; returns list of (name, callable)."""
-    from sela_tpu.codec import decoder, stream
+    from sela_tpu.codec import corpus, decoder, stream
 
     def fast_native():
         monkeypatch.delenv("SELA_NO_NATIVE", raising=False)
@@ -72,6 +72,7 @@ def _decode_all_paths(buf: bytes, monkeypatch):
         ("fast_native", fast_native),
         ("fast_python", fast_python),
         ("stream", streaming),
+        ("corpus", lambda: corpus.decode_files([buf], chunk_frames=8)),
     ]
 
 
@@ -178,6 +179,8 @@ def test_permuted_subframe_order_accepted(stereo_buf, stereo_wav, monkeypatch):
         if name == "stream":
             pcm = np.concatenate(got, axis=0)  # [n, C]
             chans = [pcm[:, c] for c in range(pcm.shape[1])]
+        elif name == "corpus":
+            chans = got[0].channels
         else:
             chans = got.channels
         for a, b in zip(chans, want.channels):
@@ -191,6 +194,8 @@ def test_valid_container_still_decodes_everywhere(stereo_buf, stereo_wav,
         if name == "stream":
             pcm = np.concatenate(got, axis=0)
             chans = [pcm[:, c] for c in range(pcm.shape[1])]
+        elif name == "corpus":
+            chans = got[0].channels
         else:
             chans = got.channels
         for a, b in zip(chans, stereo_wav.channels):
