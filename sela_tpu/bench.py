@@ -229,14 +229,21 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
           f"bit-exact={rt >= 0}", file=sys.stderr)
     if rt < 0:
         raise AssertionError("device roundtrip is not bit-exact")
-    # materialize one chunk's encode outputs as decode-probe inputs (warmup,
-    # not timed — large outputs cross the tunnel slowly)
+    # synthetic decode-probe inputs, built host-side: same shapes/dtypes as
+    # real encode outputs, so decode timing is identical, but nothing big
+    # crosses the tunnel and no extra encode executable is compiled (the r2
+    # bench's "decode compile 59s" was mostly a standalone encode_step
+    # compile + a 67 MB residue fetch; decode correctness is already covered
+    # by roundtrip_probe's in-graph bit-exactness assert above)
+    rng = np.random.default_rng(7)
+    S = x.shape[-1]
+    dec_args = tuple(jax.device_put(a) for a in (
+        rng.integers(-3000, 3000, (chunk_frames, 2, S)).astype(np.int32),
+        rng.integers(-60, 60, (chunk_frames, 2, 32)).astype(np.int32),
+        rng.integers(2, 33, (chunk_frames, 2)).astype(np.int32),
+        np.zeros((chunk_frames, 2), np.int32),
+    ))
     t0 = time.perf_counter()
-    enc0 = encode_step(xs[0], nvs[0], fused=fused)
-    dec_args = tuple(
-        jax.device_put(np.asarray(enc0[k]))
-        for k in ("residues", "qcoeffs", "order", "sftype")
-    )
     int(np.asarray(dec_probe(*dec_args)))
     print(f"[bench] decode compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 

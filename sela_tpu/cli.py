@@ -32,7 +32,10 @@ def _profile_from(args):
             if getattr(args, "rice_k_max", None) is None
             else args.rice_k_max
         ),
-        mid_side="off" if getattr(args, "no_mid_side", False) else "auto",
+        mid_side=(
+            "off" if getattr(args, "no_mid_side", False)
+            else ("exact" if getattr(args, "exact_mid_side", False) else "auto")
+        ),
         residue_partition=(
             4 if getattr(args, "partition_residues", False) else 1
         ),
@@ -386,6 +389,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Rice optimal-k search cap (<= 30)")
         sp.add_argument("--no-mid-side", action="store_true",
                         help="disable mid/side decorrelation candidates")
+        sp.add_argument("--exact-mid-side", action="store_true",
+                        help="decide mid/side from exact coded bits (renders "
+                             "all candidates; ~2x slower encode for <=0.2% "
+                             "smaller files vs the default modeled-cost rule)")
         sp.add_argument("--partition-residues", action="store_true",
                         help="adaptive 4-way partitioned residues (smaller "
                              "files on transient content; FORMAT.md)")

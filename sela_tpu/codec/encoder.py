@@ -51,12 +51,14 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
     if w.n_samples == 0:
         raise ValueError("empty audio")
     max_order, rice_k_max, allow_ms, partition = MAX_ORDER, None, True, 1
+    ms_mode = "est"
     if profile is not None:
         profile.validate()
         frame_size = profile.frame_size
         max_order = profile.max_order
         rice_k_max = profile.rice_k_max
         allow_ms = profile.mid_side != "off"
+        ms_mode = "exact" if profile.mid_side == "exact" else "est"
         partition = profile.residue_partition
     allow_ms = allow_ms and w.bits_per_sample <= 24  # FORMAT.md: 32-bit is LR-only
     x, n_valid = frame_batches(w.channels, frame_size)
@@ -83,6 +85,7 @@ def encode_wav(w: WavData, frame_size: int = FRAME_SIZE,
         out = encode_step(
             xc, nv, allow_ms=allow_ms, max_order=max_order,
             rice_k_max=rice_k_max, fused=fused, partition=partition,
+            ms_mode=ms_mode,
         )
         return out, nv, fcount
 

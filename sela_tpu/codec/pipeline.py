@@ -57,60 +57,29 @@ def default_fused(allow_ms: bool = True) -> bool:
     return bool(allow_ms) and _jax.default_backend() == "tpu"
 
 
-@partial(jax.jit,
-         static_argnames=("allow_ms", "max_order", "rice_k_max", "fused",
-                          "partition"))
-def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
-                max_order: int = MAX_ORDER, rice_k_max: int | None = None,
-                fused: bool = False, partition: int = 1):
-    """Full encode analysis+render for one chunk.
+def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
+                 nv: jax.Array, rice_k_max: int, fused: bool,
+                 limb_ok: bool, partition: int):
+    """Normative render for a [B, S] row batch with chosen coefficients.
 
-    x: [F, C, S] int32 zero-padded, n_valid: [F] int32. allow_ms=False
-    disables mid/side candidates (required for 32-bit PCM — FORMAT.md).
-    max_order / rice_k_max are BitstreamProfile caps (static; defaults are
-    the FORMAT.md v1 profile). fused=True routes the FIR + residue Rice
-    planning through the fused Pallas kernel (TPU; bit-identical outputs —
-    see default_fused()). partition=4 enables adaptive partitioned residues
-    (FORMAT.md §Partitioned residues): per subframe, the cheaper of the
-    plain and partitioned encodings is planned — same rule as the oracle.
-    Returns dict of per-(frame, channel) planning arrays + residues, where the
-    mid/side decision has already been applied:
-      residues [F, C, S], order [F, C], qcoeffs [F, C, MAX_ORDER],
-      k_res/k_coeff [F, C], k_res4 [F, C] (byte-packed sub-ks, 0 unless
-      k_res == RICE_PARTITION_MARKER), sftype [F, C], nw_res/nw_coeff [F, C].
+    Integer Levinson -> FIR residues (+ guard) -> exact Rice planning for
+    residues (optionally partitioned, FORMAT.md §Partitioned residues) and
+    coefficients. limb_ok marks |x| < 2^26 (PCM <= 24-bit incl. mid/side),
+    the domain of the limb FIR and the fused Pallas kernel.
+    Returns dict of per-row arrays incl. block_bits (the exact-bits decision
+    metric: padded-word bits + partitioned header bytes).
     """
-    from ..format import RICE_K_MAX
-
-    if rice_k_max is None:
-        rice_k_max = RICE_K_MAX
-    F, C, S = x.shape
-    # accept narrow PCM dtypes (int16 halves the host->device transfer for
-    # <=16-bit audio); all codec math is int32
-    x = x.astype(jnp.int32)
-    cand = make_candidates(x) if allow_ms else x  # [F, C2, S]
-    C2 = cand.shape[1]
-    B = F * C2
-    xb = cand.reshape(B, S)
-    nv = jnp.repeat(n_valid, C2).astype(jnp.int32)
-
-    if fused:
-        from ..kernels.encode import autocorr_pallas
-
-        order, q = analysis.analyze(xb, nv, max_order, autocorr_pallas)
-    else:
-        order, q = analysis.analyze(xb, nv, max_order)
+    S = xb.shape[1]
     g = coeffs.dequantize_reflection(q)
     c = coeffs.reflection_to_lpc(g, order)
-    if fused and allow_ms:
+    if fused and limb_ok:
         from ..kernels.encode import fir_rice_pallas
 
         e, eff_order, counts = fir_rice_pallas(xb, c, order, nv)
         k_res, bits_res = rice.k_and_bits_from_counts(counts, nv, rice_k_max)
         nw_res = rice.block_words(bits_res)
     else:
-        # allow_ms doubles as the <=24-bit marker (FORMAT.md): the limb FIR
-        # is exact exactly when |x| < 2^26, i.e. whenever mid/side is allowed
-        fir = filters.fir_residues_fast if allow_ms else filters.fir_residues
+        fir = filters.fir_residues_fast if limb_ok else filters.fir_residues
         e, eff_order = fir(xb, c, order, nv)
         k_res, bits_res, nw_res = rice.plan_blocks(e, nv, rice_k_max)
     # adaptive partitioned residues: plan each quarter independently and use
@@ -134,7 +103,14 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
             lo = (qi * nv32) // partition
             hi = ((qi + 1) * nv32) // partition
             m = (iota >= lo[:, None]) & (iota < hi[:, None])
-            cq = rice.bit_counts(jnp.where(m, u, jnp.uint32(0)))
+            # barrier per quarter: forces the masked array to materialize so
+            # the 32 bit_counts reductions below read a plain buffer — without
+            # it XLA:CPU re-fuses mask+zigzag+FIR into every reduction and
+            # cold compile blows past 5 minutes (cache-masked regression from
+            # the r2 popcount k-search; the r2-era barrier on `e` alone no
+            # longer isolates enough of the producer graph)
+            uq = jax.lax.optimization_barrier(jnp.where(m, u, jnp.uint32(0)))
+            cq = rice.bit_counts(uq)
             kq, bq = rice.k_and_bits_from_counts(cq, hi - lo, rice_k_max)
             ks_q.append(kq)
             part_bits = part_bits + bq
@@ -152,10 +128,133 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
 
     cols = jnp.arange(MAX_ORDER)[None, :]
     q_eff = jnp.where(cols < eff_order[:, None], q, 0)
-
-    k_coeff, bits_coeff, nw_coeff = rice.plan_blocks(q_eff, eff_order, rice_k_max)
+    k_coeff, _, nw_coeff = rice.plan_blocks(q_eff, eff_order, rice_k_max)
     # oracle decision metric (incl. the partitioned header's extra k bytes)
     block_bits = 32 * (nw_res + nw_coeff) + part_extra_bits
+    return dict(e=e, eff_order=eff_order, q_eff=q_eff, k_res=k_res, kr4=kr4,
+                k_coeff=k_coeff, nw_res=nw_res, nw_coeff=nw_coeff,
+                block_bits=block_bits)
+
+
+@partial(jax.jit,
+         static_argnames=("allow_ms", "max_order", "rice_k_max", "fused",
+                          "partition", "ms_mode"))
+def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
+                max_order: int = MAX_ORDER, rice_k_max: int | None = None,
+                fused: bool = False, partition: int = 1,
+                ms_mode: str = "est"):
+    """Full encode analysis+render for one chunk.
+
+    x: [F, C, S] int32 zero-padded, n_valid: [F] int32. allow_ms=False
+    disables mid/side candidates (required for 32-bit PCM — FORMAT.md).
+    max_order / rice_k_max are BitstreamProfile caps (static; defaults are
+    the FORMAT.md v1 profile). fused=True routes the FIR + residue Rice
+    planning through the fused Pallas kernel (TPU; bit-identical outputs —
+    see default_fused()). partition=4 enables adaptive partitioned residues
+    (FORMAT.md §Partitioned residues): per subframe, the cheaper of the
+    plain and partitioned encodings is planned — same rule as the oracle.
+
+    ms_mode selects the (non-normative) mid/side decision rule:
+      * "est" (default, BitstreamProfile.mid_side="auto"): decide per pair
+        from the Levinson-modeled cost that order selection already computes
+        — the normative render (integer Levinson + FIR + exact Rice planning)
+        then runs on the C winner rows only instead of all C2 candidates,
+        ~halving the encode hot path. The modeled-vs-exact decision differs
+        on near-tied frames only (measured <0.2% size delta, test_config).
+      * "exact" (BitstreamProfile.mid_side="exact"): render all candidates
+        and compare exact padded-word bits — the oracle's rule, byte-identical
+        planning to rounds 1-2.
+
+    Returns dict of per-(frame, channel) planning arrays + residues, where the
+    mid/side decision has already been applied:
+      residues [F, C, S], order [F, C], qcoeffs [F, C, MAX_ORDER],
+      k_res/k_coeff [F, C], k_res4 [F, C] (byte-packed sub-ks, 0 unless
+      k_res == RICE_PARTITION_MARKER), sftype [F, C], nw_res/nw_coeff [F, C].
+    """
+    from ..format import RICE_K_MAX
+
+    if rice_k_max is None:
+        rice_k_max = RICE_K_MAX
+    if ms_mode not in ("est", "exact"):
+        raise ValueError(f"ms_mode must be est|exact, got {ms_mode!r}")
+    F, C, S = x.shape
+    # accept narrow PCM dtypes (int16 halves the host->device transfer for
+    # <=16-bit audio); all codec math is int32
+    x = x.astype(jnp.int32)
+    cand = make_candidates(x) if allow_ms else x  # [F, C2, S]
+    C2 = cand.shape[1]
+    B = F * C2
+    xb = cand.reshape(B, S)
+    nv = jnp.repeat(n_valid, C2).astype(jnp.int32)
+    n_pairs = C // 2 if C2 > C else 0
+
+    from ..kernels.encode import analyze_pallas, autocorr_pallas
+
+    ac_impl = autocorr_pallas if fused else None
+
+    if ms_mode == "est" and n_pairs:
+        # ---- fast path: analyze all candidates, render winners only -------
+        if fused:
+            order_a, q_a, cost = analyze_pallas(xb, nv, max_order)
+        else:
+            order_a, q_a, cost = analysis.analyze(
+                xb, nv, max_order, ac_impl, return_cost=True
+            )
+        cost = cost.reshape(F, C2)
+        order_a = order_a.reshape(F, C2)
+        q_a = q_a.reshape(F, C2, -1)
+        use_ms_pair = [
+            (cost[:, C + 2 * p] + cost[:, C + 2 * p + 1])
+            < (cost[:, 2 * p] + cost[:, 2 * p + 1])
+            for p in range(n_pairs)
+        ]
+        # winner selection per output channel: row c (direct) vs row C + c
+        # (its mid/side counterpart) — jnp.where, NOT take_along_axis (XLA
+        # lowers that gather to a slow scalar loop; wheres are vector selects)
+        xs, osel, qsel, sft_cols = [], [], [], []
+        for c in range(C):
+            p = c // 2
+            if p < n_pairs:
+                u = use_ms_pair[p]
+                xs.append(jnp.where(u[:, None], cand[:, C + c], cand[:, c]))
+                osel.append(jnp.where(u, order_a[:, C + c], order_a[:, c]))
+                qsel.append(jnp.where(u[:, None], q_a[:, C + c], q_a[:, c]))
+                t = SF_MID if c % 2 == 0 else SF_SIDE
+                sft_cols.append(jnp.where(u, t, SF_DIRECT).astype(jnp.int32))
+            else:
+                xs.append(cand[:, c])
+                osel.append(order_a[:, c])
+                qsel.append(q_a[:, c])
+                sft_cols.append(jnp.zeros(F, jnp.int32))
+        sftype = jnp.stack(sft_cols, axis=1)
+        xw = jnp.stack(xs, axis=1).reshape(F * C, S)
+        ow = jnp.stack(osel, axis=1).reshape(F * C)
+        qw = jnp.stack(qsel, axis=1).reshape(F * C, -1)
+        nvw = jnp.repeat(n_valid, C).astype(jnp.int32)
+        r = _render_rows(xw, qw, ow, nvw, rice_k_max, fused,
+                         limb_ok=allow_ms, partition=partition)
+
+        def out2(a):
+            return a.reshape(F, C, *a.shape[1:])
+
+        res = out2(r["e"])
+        eff_order, q_eff = out2(r["eff_order"]), out2(r["q_eff"])
+        k_res, kr4, k_coeff = out2(r["k_res"]), out2(r["kr4"]), out2(r["k_coeff"])
+        nw_res, nw_coeff = out2(r["nw_res"]), out2(r["nw_coeff"])
+        return _encode_outputs(res, eff_order, q_eff, k_res, kr4, k_coeff,
+                               nw_res, nw_coeff, sftype)
+
+    # ---- exact path: render every candidate, decide on exact bits ---------
+    # (also the n_pairs == 0 path, where the two modes coincide)
+    if fused:
+        order, q, _ = analyze_pallas(xb, nv, max_order)
+    else:
+        order, q = analysis.analyze(xb, nv, max_order, ac_impl)
+    r = _render_rows(xb, q, order, nv, rice_k_max, fused,
+                     limb_ok=allow_ms, partition=partition)
+    e, eff_order, q_eff = r["e"], r["eff_order"], r["q_eff"]
+    k_res, kr4, k_coeff = r["k_res"], r["kr4"], r["k_coeff"]
+    nw_res, nw_coeff, block_bits = r["nw_res"], r["nw_coeff"], r["block_bits"]
 
     def g2(a):
         return a.reshape(F, C2, *a.shape[1:])
@@ -171,7 +270,6 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
     # channel, NOT take_along_axis — XLA lowers the gather to a slow
     # scalar loop (measured ~800 ms per 256-frame chunk on CPU, ~4x the
     # whole rest of the encode graph; wheres are plain vector selects).
-    n_pairs = C // 2 if C2 > C else 0
     use_ms_pair = []
     sft_cols = []
     for c in range(C):
@@ -202,6 +300,14 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
         return jnp.stack(cols, axis=1)
 
     res = pick(e)
+    return _encode_outputs(res, pick(eff_order), pick(q_eff), pick(k_res),
+                           pick(kr4), pick(k_coeff), pick(nw_res),
+                           pick(nw_coeff), sftype)
+
+
+def _encode_outputs(res, order, qcoeffs, k_res, kr4, k_coeff, nw_res,
+                    nw_coeff, sftype) -> dict:
+    """Assemble encode_step's output dict from decided [F, C, ...] arrays."""
     # int16 wire format for the device->host residue fetch: residues of
     # musical content almost always fit int16, halving the dominant D2H
     # transfer (the host fetches res16 when fits16 says every frame fits,
@@ -215,13 +321,13 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
         residues=res,
         res16=res.astype(jnp.int16),
         fits16=fits16,
-        order=pick(eff_order),
-        qcoeffs=pick(q_eff),
-        k_res=pick(k_res),
-        k_res4=pick(kr4),
-        k_coeff=pick(k_coeff),
-        nw_res=pick(nw_res),
-        nw_coeff=pick(nw_coeff),
+        order=order,
+        qcoeffs=qcoeffs,
+        k_res=k_res,
+        k_res4=kr4,
+        k_coeff=k_coeff,
+        nw_res=nw_res,
+        nw_coeff=nw_coeff,
         sftype=sftype,
     )
 

@@ -32,7 +32,13 @@ class BitstreamProfile:
     frame_size: int = FRAME_SIZE        # samples/channel/frame, <= FRAME_SIZE
     max_order: int = MAX_ORDER          # LPC order search cap, <= MAX_ORDER
     rice_k_max: int = RICE_K_MAX        # optimal-k search cap, <= RICE_K_MAX
-    mid_side: str = "auto"              # auto | off (auto: per-frame cost rule)
+    # mid/side decision rule (non-normative — any choice decodes exactly):
+    #   auto  — per-frame modeled-cost rule (fast: the normative render runs
+    #           on winner rows only; measured <0.2% size delta vs exact)
+    #   exact — per-frame exact padded-bits rule (renders all candidates;
+    #           the oracle's rule, what the jax engine used in rounds 1-2)
+    #   off   — direct L/R subframes only (mandatory for 32-bit PCM)
+    mid_side: str = "auto"
     # 1 = one k per residue block (v1 default); RESIDUE_PARTS (4) = adaptive
     # partitioned residues (FORMAT.md §Partitioned residues): the encoder
     # emits the partitioned form only for subframes where it is smaller, so
@@ -48,8 +54,9 @@ class BitstreamProfile:
             raise ValueError(f"max_order {self.max_order} outside [1, {MAX_ORDER}]")
         if not 0 <= self.rice_k_max <= RICE_K_MAX:
             raise ValueError(f"rice_k_max {self.rice_k_max} outside [0, {RICE_K_MAX}]")
-        if self.mid_side not in ("auto", "off"):
-            raise ValueError(f"mid_side must be auto|off, got {self.mid_side!r}")
+        if self.mid_side not in ("auto", "exact", "off"):
+            raise ValueError(
+                f"mid_side must be auto|exact|off, got {self.mid_side!r}")
         from .format import RESIDUE_PARTS
 
         if self.residue_partition not in (1, RESIDUE_PARTS):

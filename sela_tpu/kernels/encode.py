@@ -102,11 +102,37 @@ def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, pc_ref):
     )
     u = jnp.where(valid, u, jnp.uint32(0))  # invalid rows contribute 0
     one = jnp.uint32(1)
-    for j in range(KSUMS):  # bit j = 0..31
-        pc_ref[:, j : j + 1] = jnp.sum(
-            jax.lax.bitcast_convert_type((u >> j) & one, jnp.int32),
-            axis=1, keepdims=True,
-        )
+
+    def count_bits(nbits: int):
+        for j in range(nbits):  # bit j
+            pc_ref[:, j : j + 1] = jnp.sum(
+                jax.lax.bitcast_convert_type((u >> j) & one, jnp.int32),
+                axis=1, keepdims=True,
+            )
+        if nbits < KSUMS:
+            pc_ref[:, nbits:] = jnp.zeros((R, KSUMS - nbits), jnp.int32)
+
+    # the bit loop is ~1/4 of the kernel's vector ops; residues of real
+    # audio rarely exceed 16 zigzag bits (16-bit PCM) or 24 (hi-res), so
+    # branch the tile on its max magnitude tier — counts above the tier are
+    # exactly zero by construction, so outputs are bit-identical to the full
+    # loop. (Tier as int32 per element first: Mosaic has no uint32 reduce.)
+    tier = jnp.max(
+        jnp.where(u >= (one << 16), jnp.int32(1), jnp.int32(0))
+        + jnp.where(u >= (one << 24), jnp.int32(1), jnp.int32(0))
+    )
+
+    @pl.when(tier == 0)
+    def _():
+        count_bits(16)
+
+    @pl.when(tier == 1)
+    def _():
+        count_bits(24)
+
+    @pl.when(tier >= 2)
+    def _():
+        count_bits(KSUMS)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -188,6 +214,136 @@ def autocorr_pallas(x: jax.Array, max_lag: int = MAX_ORDER,
         x = jnp.pad(x, ((0, pad), (0, 0)))
     r = _autocorr_tiles(x, interpret)
     return r[:B, : max_lag + 1]
+
+
+LANES_LEV = 128  # rows per levinson grid cell (one row per VPU lane)
+
+
+def _make_levinson_kernel(max_order: int):
+    """Levinson-Durbin + order select + quantize, one row per lane.
+
+    The jnp version (ops.analysis.levinson + select_order + quantize) is
+    ~1500 small [B, <=33] HBM-resident ops — on TPU it is HBM-latency bound
+    (measured ~2.5 ms of the 3.6 ms analysis stage at B=8192). Here the whole
+    recursion runs on [1, 128] lane vectors held in registers/VMEM: one HBM
+    read of r, one write of (order, q, cost). Same op order as the jnp path;
+    float analysis is non-normative (FORMAT.md "Design invariant") so ulp
+    differences from XLA's fusion choices are acceptable by design.
+    """
+    from ..format import COEFF_BIT_COST, Q_CLAMP_HI, Q_CLAMP_LO
+
+    P_ = MAX_ORDER
+
+    def kernel(rt_ref, nv_ref, ord_ref, q_ref, cost_ref):
+        # rt_ref: [P_+1, L] f32 autocorr lags (transposed); nv_ref: [1, L] i32
+        # ord_ref: [1, L] i32; q_ref: [P_, L] i32; cost_ref: [1, L] f32
+        L = rt_ref.shape[1]
+        r = [rt_ref[m : m + 1, :] for m in range(P_ + 1)]
+        r0 = r[0]
+        valid = r0 > 0.0
+        e = jnp.where(valid, r0, 1.0)
+        a = [jnp.zeros((1, L), jnp.float32) for _ in range(P_)]
+        ks, es = [], []
+        for m in range(1, P_ + 1):
+            if m == 1:
+                acc = r[1]
+            else:
+                s = a[0] * r[m - 1]
+                for i in range(1, m - 1):
+                    s = s + a[i] * r[m - 1 - i]
+                acc = r[m] - s
+            k = jnp.where(e > 0.0, acc / jnp.maximum(e, 1e-30), 0.0)
+            k = jnp.clip(k, -0.999999, 0.999999)
+            if m > 1:
+                olds = [a[i] for i in range(m - 1)]
+                for i in range(m - 1):
+                    a[i] = olds[i] - k * olds[m - 2 - i]
+            a[m - 1] = k
+            e = e * (1.0 - k * k)
+            ks.append(k)
+            es.append(e)
+        gamma = [jnp.where(valid, kk, 0.0) for kk in ks]
+        err = [jnp.where(valid, r0, 1.0)] + [
+            jnp.where(valid, ee, 1.0) for ee in es
+        ]
+        # order select: cost(m) = N/2*log2(max(err_m, 1e-9)) + C*m, ties low
+        nf = nv_ref[:, :].astype(jnp.float32)
+        best_c = 0.5 * nf * (jnp.log(jnp.maximum(err[0], 1e-9))
+                             * jnp.float32(1.4426950408889634))
+        best_m = jnp.zeros((1, L), jnp.int32)
+        for m in range(1, max_order + 1):
+            c = (0.5 * nf * (jnp.log(jnp.maximum(err[m], 1e-9))
+                             * jnp.float32(1.4426950408889634))
+                 + jnp.float32(COEFF_BIT_COST * m))
+            better = c < best_c
+            best_c = jnp.where(better, c, best_c)
+            best_m = jnp.where(better, m, best_m)
+        ord_ref[:, :] = best_m
+        cost_ref[:, :] = best_c
+        # companded 7-bit quantization (FORMAT.md), zero beyond order
+        for m in range(P_):
+            g = gamma[m]
+            if m == 0:
+                qf = jnp.floor(64.0 * (jnp.sqrt(2.0 * (g + 1.0)) - 1.0))
+            elif m == 1:
+                qf = jnp.floor(64.0 * (jnp.sqrt(2.0 * (1.0 - g)) - 1.0))
+            else:
+                qf = jnp.floor(64.0 * g)
+            qi = jnp.clip(qf, Q_CLAMP_LO, Q_CLAMP_HI).astype(jnp.int32)
+            q_ref[m : m + 1, :] = jnp.where(m < best_m, qi, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_order", "interpret"))
+def _levinson_tiles(rt, nvt, max_order: int, interpret: bool):
+    Pp1, B = rt.shape
+    grid = (B // LANES_LEV,)
+    return pl.pallas_call(
+        _make_levinson_kernel(max_order),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.int32),          # order
+            jax.ShapeDtypeStruct((MAX_ORDER, B), jnp.int32),  # qcoeffs^T
+            jax.ShapeDtypeStruct((1, B), jnp.float32),        # min cost
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Pp1, LANES_LEV), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES_LEV), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LANES_LEV), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAX_ORDER, LANES_LEV), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES_LEV), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(rt, nvt)
+
+
+def analyze_pallas(x: jax.Array, n_valid: jax.Array,
+                   max_order: int = MAX_ORDER,
+                   interpret: bool | None = None):
+    """Fused device analysis: drop-in for ops.analysis.analyze(return_cost=True).
+
+    x: [B, S] int32 -> (order [B] i32, qcoeffs [B, MAX_ORDER] i32,
+    cost [B] f32). Autocorr via the Pallas autocorr kernel, then the
+    Levinson/select/quantize kernel (one lane per row). Analysis is
+    non-normative; the emitted stream stays decode-exact regardless.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = x.shape[0]
+    r = autocorr_pallas(x, MAX_ORDER, interpret)          # [B, P+1] f32
+    pad = (-B) % LANES_LEV
+    rt = jnp.pad(r, ((0, pad), (0, 0))).T                 # [P+1, Bp]
+    nvt = jnp.pad(n_valid.astype(jnp.int32), (0, pad))[None, :]
+    o, qt, cost = _levinson_tiles(rt, nvt, max_order, interpret)
+    return o[0, :B], qt.T[:B], cost[0, :B]
 
 
 def fir_rice_pallas(x: jax.Array, coeffs: jax.Array, order: jax.Array,

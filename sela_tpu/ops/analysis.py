@@ -79,12 +79,27 @@ def select_order(err: jax.Array, n_valid: jax.Array,
     cost(m) = N/2 * log2(max(err_m, tiny)) + COEFF_BIT_COST * m  (oracle rule);
     orders above max_order (BitstreamProfile cap) are excluded.
     """
+    return select_order_and_cost(err, n_valid, max_order)[0]
+
+
+def select_order_and_cost(err: jax.Array, n_valid: jax.Array,
+                          max_order: int = MAX_ORDER):
+    """(order [B] int32, min-cost [B] float32).
+
+    The min cost is the modeled stream size N/2*log2(err_m*) + header cost —
+    since err is the predicted residual variance, the cost differs from the
+    true Rice bit count only by a per-row constant (N * (log2 scale + Rice
+    overhead)) that is IDENTICAL across decorrelation candidates of the same
+    frame, so candidate cost sums compare exactly like modeled bit counts.
+    Used by the fast mid/side decision (codec.pipeline, mid_side="auto").
+    """
     tiny = 1e-9
     m = jnp.arange(err.shape[1], dtype=jnp.float32)[None, :]
     nf = n_valid.astype(jnp.float32)[:, None]
     cost = 0.5 * nf * jnp.log2(jnp.maximum(err, tiny)) + COEFF_BIT_COST * m
     cost = jnp.where(m > max_order, jnp.inf, cost)
-    return jnp.argmin(cost, axis=-1).astype(jnp.int32)
+    order = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+    return order, jnp.min(cost, axis=-1)
 
 
 def quantize_reflection(gamma: jax.Array) -> jax.Array:
@@ -100,16 +115,20 @@ def quantize_reflection(gamma: jax.Array) -> jax.Array:
 
 
 def analyze(x: jax.Array, n_valid: jax.Array, max_order: int = MAX_ORDER,
-            autocorr_impl=None):
+            autocorr_impl=None, return_cost: bool = False):
     """Full analysis: [B, N] int32, [B] counts -> (order [B], qcoeffs [B, MAX_ORDER]).
 
     autocorr_impl: override for the autocorrelation (the Pallas kernel on
     TPU); must return [B, MAX_ORDER+1] float32 like autocorr().
+    return_cost=True appends the modeled min cost (select_order_and_cost) —
+    free here, used for the fast mid/side decision.
     """
     r = (autocorr_impl or autocorr)(x)
     gamma, err = levinson(r)
-    order = select_order(err, n_valid, max_order)
+    order, cost = select_order_and_cost(err, n_valid, max_order)
     q = quantize_reflection(gamma)
     # zero out coefficients beyond the chosen order
     q = jnp.where(jnp.arange(q.shape[1])[None, :] < order[:, None], q, 0)
+    if return_cost:
+        return order, q, cost
     return order, q

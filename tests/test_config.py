@@ -27,6 +27,7 @@ def test_profile_validation():
         BitstreamProfile(rice_k_max=31).validate()
     with pytest.raises(ValueError, match="mid_side"):
         BitstreamProfile(mid_side="always").validate()
+    BitstreamProfile(mid_side="exact").validate()
     with pytest.raises(ValueError, match="engine"):
         RuntimeConfig(engine="torch").validate()
     assert BitstreamProfile().is_v1_default
@@ -59,16 +60,32 @@ def test_nondefault_profile_roundtrips_both_engines(rng, signal_factory):
 
 
 def test_jax_matches_oracle_under_profile(rng, signal_factory):
-    """Same profile => decode-exact streams from either engine; the jax
-    stream must also not be larger (both use exact-bits planning)."""
+    """Same profile => decode-exact streams from either engine; with the
+    exact mid/side rule the jax stream must also not be larger (both use
+    exact-bits planning and the exact decision)."""
     w = make_wav(rng, signal_factory, n=2048 * 2 + 100)
-    buf_jax = encode_wav(w, profile=PROFILE, chunk_frames=8)
-    buf_ref = ref_codec.encode_wav(w, profile=PROFILE)
+    prof = BitstreamProfile(frame_size=1024, max_order=8, rice_k_max=14,
+                            mid_side="exact")
+    buf_jax = encode_wav(w, profile=prof, chunk_frames=8)
+    buf_ref = ref_codec.encode_wav(w, profile=prof)
     assert len(buf_jax) <= len(buf_ref)
     for buf in (buf_jax, buf_ref):
         out = ref_codec.decode_sela(buf)
         for a, b in zip(out.channels, w.channels):
             np.testing.assert_array_equal(a, b)
+
+
+def test_est_mid_side_close_to_exact(rng, signal_factory):
+    """The default modeled-cost mid/side rule ("auto") must round-trip
+    exactly and cost at most 0.5% size vs the exact-bits rule."""
+    w = make_wav(rng, signal_factory, n=2048 * 6 + 321)
+    buf_est = encode_wav(w, chunk_frames=8)  # default profile = auto
+    buf_exact = encode_wav(
+        w, profile=BitstreamProfile(mid_side="exact"), chunk_frames=8)
+    assert len(buf_est) <= int(len(buf_exact) * 1.005)
+    out = decode_sela(buf_est, chunk_frames=8)
+    for a, b in zip(out.channels, w.channels):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_mid_side_off_emits_direct_only(rng, signal_factory):

@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# CI pipeline for sela_tpu (SURVEY.md §4/§5): the complete merge gate.
+#
+#   1. full pytest pyramid on CPU (8 virtual devices) under PYTHONDEVMODE=1 —
+#      dev mode turns latent resource/encoding/thread hazards into warnings
+#      and errors (the "sanitizer job" from SURVEY.md §5: XLA programs are
+#      data-race-free by construction, so the host-side Python is the only
+#      race/lifetime surface worth instrumenting);
+#   2. bench regression gate — compares the two newest BENCH_r*.json and
+#      fails on >2% compression-ratio or >10% throughput regression;
+#   3. (optional, --scaling) multi-rank scaling-efficiency measurement,
+#      failing below the 80% north-star target.
+#
+# Usage:  tools/ci.sh [--scaling]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== [1/3] pytest (PYTHONDEVMODE=1, CPU, 8 virtual devices) =="
+PYTHONDEVMODE=1 python -m pytest tests/ -q
+
+echo "== [2/3] bench regression gate =="
+python tools/check_regression.py || {
+  rc=$?
+  if [ "$rc" -eq 2 ]; then
+    echo "  (no two BENCH_r*.json to compare — skipped)"
+  else
+    exit "$rc"
+  fi
+}
+
+if [ "${1:-}" = "--scaling" ]; then
+  echo "== [3/3] scaling efficiency (>=0.80) =="
+  python tools/measure_scaling.py --seconds 24 --ranks 2
+else
+  echo "== [3/3] scaling efficiency — skipped (pass --scaling to run) =="
+fi
+echo "CI OK"
