@@ -20,6 +20,7 @@ from ..utils.bitpack import pack_blocks, unpack_blocks
 from .decoder import DEFAULT_CHUNK_FRAMES
 from .encoder import frame_batches
 from .pipeline import decode_step, default_fused, encode_step
+from ..utils.platform import backend_is_tpu as _backend_is_tpu
 
 
 def encode_files(wavs: list[WavData], chunk_frames: int = DEFAULT_CHUNK_FRAMES,
@@ -139,7 +140,7 @@ def decode_files(bufs: list[bytes], chunk_frames: int = DEFAULT_CHUNK_FRAMES) ->
         groups.setdefault((h.channels, h.bits_per_sample <= 24), []).append(i)
 
     results: list[WavData | None] = [None] * len(bufs)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _backend_is_tpu()
     S = FRAME_SIZE
     for (C, le24), idxs in groups.items():
         iir = ("pallas" if le24 else "pallas_generic") if on_tpu else "scan"

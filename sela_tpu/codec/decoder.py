@@ -20,6 +20,7 @@ from ..ref import container
 from ..ref.wav import WavData
 from ..utils.bitpack import unpack_blocks
 from .pipeline import decode_step
+from ..utils.platform import backend_is_tpu as _backend_is_tpu
 
 DEFAULT_CHUNK_FRAMES = 512
 PIPELINE = 4  # device-decode chunks in flight while the host unpacks ahead
@@ -41,7 +42,7 @@ def _resolve_iir(iir: str | None, bits_per_sample: int) -> str:
         return iir
     import jax
 
-    if jax.default_backend() == "tpu":
+    if _backend_is_tpu():
         return "pallas" if bits_per_sample <= 24 else "pallas_generic"
     return "scan"  # pallas interpret mode is slower than scan on CPU
 

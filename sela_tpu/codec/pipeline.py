@@ -52,9 +52,9 @@ def make_candidates(x: jax.Array):
 def default_fused(allow_ms: bool = True) -> bool:
     """Use the fused Pallas FIR+Rice kernel? TPU backend and <=24-bit only
     (the limb FIR needs |x| < 2^26; allow_ms doubles as that marker)."""
-    import jax as _jax
+    from ..utils.platform import backend_is_tpu
 
-    return bool(allow_ms) and _jax.default_backend() == "tpu"
+    return bool(allow_ms) and backend_is_tpu()
 
 
 def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
@@ -70,14 +70,28 @@ def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
     metric: padded-word bits + partitioned header bytes).
     """
     S = xb.shape[1]
-    g = coeffs.dequantize_reflection(q)
-    c = coeffs.reflection_to_lpc(g, order)
+    if fused:
+        # lane-parallel Pallas dequantize+integer-Levinson (bit-identical for
+        # encoder-produced q, which is always in [-64, 63] — kernels/coeffs)
+        from ..kernels.coeffs import lpc_from_q_pallas
+
+        c = lpc_from_q_pallas(q, order)
+    else:
+        c = coeffs.reflection_to_lpc(coeffs.dequantize_reflection(q), order)
+    counts_res = None
     if fused and limb_ok:
         from ..kernels.encode import fir_rice_pallas
 
         e, eff_order, counts = fir_rice_pallas(xb, c, order, nv)
-        k_res, bits_res = rice.k_and_bits_from_counts(counts, nv, rice_k_max)
-        nw_res = rice.block_words(bits_res)
+        if partition == 1:
+            # defer k selection: combined with the coeff blocks in one
+            # lane-parallel ksel_pallas call below
+            counts_res = counts
+            k_res = bits_res = nw_res = None
+        else:
+            k_res, bits_res = rice.k_and_bits_from_counts(
+                counts, nv, rice_k_max)
+            nw_res = rice.block_words(bits_res)
     else:
         fir = filters.fir_residues_fast if limb_ok else filters.fir_residues
         e, eff_order = fir(xb, c, order, nv)
@@ -87,40 +101,37 @@ def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
     # padded-word bits + one k byte per sub-block vs padded-word bits)
     from ..format import RICE_PARTITION_MARKER
 
-    kr4 = jnp.zeros_like(k_res)
-    part_extra_bits = jnp.zeros_like(k_res)
+    kr4 = jnp.zeros_like(eff_order)
+    part_extra_bits = jnp.zeros_like(eff_order)
     if partition > 1:
-        # barrier: without it XLA re-fuses the 32-tap FIR producer into each
-        # of the 4x32 quarter popcount reductions below and compilation
-        # explodes (>30 CPU-minutes observed; 6 s with the barrier)
-        u = rice.zigzag(jax.lax.optimization_barrier(e))
-        iota = jnp.arange(S)[None, :]
+        # Quarter planning runs in Pallas kernels (quarter_counts_pallas +
+        # ksel_pallas), NOT inline jnp: a pallas_call is a fusion boundary,
+        # which is what actually stops XLA:CPU from re-fusing the FIR
+        # producer into the 4x32 masked popcount reductions. The r2/r3
+        # optimization_barrier approach no longer contains that re-fusion on
+        # current XLA — cold compile of the combined graph ran >30 min with
+        # ~14 GB of LLVM state (round 4 post-mortem in kernels/encode.py);
+        # this form compiles in seconds on CPU and TPU and is bit-identical
+        # (ksel_pallas == ops.rice.k_and_bits_from_counts, tested).
+        from ..kernels.encode import ksel_pallas, quarter_counts_pallas
+
         nv32 = nv.astype(jnp.int32)
-        u = jnp.where(iota < nv32[:, None], u, jnp.uint32(0))
-        ks_q = []
-        part_bits = jnp.zeros_like(k_res)
-        for qi in range(partition):
-            lo = (qi * nv32) // partition
-            hi = ((qi + 1) * nv32) // partition
-            m = (iota >= lo[:, None]) & (iota < hi[:, None])
-            # barrier per quarter: forces the masked array to materialize so
-            # the 32 bit_counts reductions below read a plain buffer — without
-            # it XLA:CPU re-fuses mask+zigzag+FIR into every reduction and
-            # cold compile blows past 5 minutes (cache-masked regression from
-            # the r2 popcount k-search; the r2-era barrier on `e` alone no
-            # longer isolates enough of the producer graph)
-            uq = jax.lax.optimization_barrier(jnp.where(m, u, jnp.uint32(0)))
-            cq = rice.bit_counts(uq)
-            kq, bq = rice.k_and_bits_from_counts(cq, hi - lo, rice_k_max)
-            ks_q.append(kq)
-            part_bits = part_bits + bq
+        pc4 = quarter_counts_pallas(e, nv32)              # [B, 4, 32]
+        qcols = jnp.arange(partition, dtype=jnp.int32)[None, :]
+        lo = (qcols * nv32[:, None]) // partition
+        hi = ((qcols + 1) * nv32[:, None]) // partition
+        kq, bq = ksel_pallas(
+            pc4.reshape(-1, 32), (hi - lo).reshape(-1), rice_k_max
+        )
+        kq = kq.reshape(-1, partition)
+        part_bits = bq.reshape(-1, partition).sum(axis=1)
         nw_part = rice.block_words(part_bits)
         use_part = (nv32 >= partition) & (
             32 * nw_part + 8 * partition < 32 * nw_res
         )
-        packed = ks_q[0]
+        packed = kq[:, 0]
         for qi in range(1, partition):
-            packed = packed | (ks_q[qi] << (8 * qi))
+            packed = packed | (kq[:, qi] << (8 * qi))
         kr4 = jnp.where(use_part, packed, 0)
         k_res = jnp.where(use_part, RICE_PARTITION_MARKER, k_res)
         nw_res = jnp.where(use_part, nw_part, nw_res)
@@ -128,7 +139,25 @@ def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
 
     cols = jnp.arange(MAX_ORDER)[None, :]
     q_eff = jnp.where(cols < eff_order[:, None], q, 0)
-    k_coeff, _, nw_coeff = rice.plan_blocks(q_eff, eff_order, rice_k_max)
+    if counts_res is not None:
+        # one lane-parallel k selection for residue AND coeff blocks
+        # (bit-identical to ops.rice.k_and_bits_from_counts / plan_blocks;
+        # q_eff is zeroed beyond eff_order so zigzag needs no extra mask)
+        from ..kernels.encode import ksel_pallas
+
+        counts_coeff = rice.bit_counts(rice.zigzag(q_eff))
+        B2 = counts_res.shape[0]
+        k_all, bits_all = ksel_pallas(
+            jnp.concatenate([counts_res, counts_coeff], axis=0),
+            jnp.concatenate([nv.astype(jnp.int32), eff_order], axis=0),
+            rice_k_max,
+        )
+        k_res, bits_res = k_all[:B2], bits_all[:B2]
+        k_coeff = k_all[B2:]
+        nw_res = rice.block_words(bits_res)
+        nw_coeff = rice.block_words(bits_all[B2:])
+    else:
+        k_coeff, _, nw_coeff = rice.plan_blocks(q_eff, eff_order, rice_k_max)
     # oracle decision metric (incl. the partitioned header's extra k bytes)
     block_bits = 32 * (nw_res + nw_coeff) + part_extra_bits
     return dict(e=e, eff_order=eff_order, q_eff=q_eff, k_res=k_res, kr4=kr4,
@@ -348,8 +377,16 @@ def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
     # accept int16 wire residues (host sends them when every value fits —
     # halves the host->device transfer); codec math is int32
     residues = residues.astype(jnp.int32)
-    g = coeffs.dequantize_reflection(qcoeffs.reshape(B, -1))
-    c = coeffs.reflection_to_lpc(g, order.reshape(B))
+    if iir == "scan":
+        # pure-jnp normative reference path
+        g = coeffs.dequantize_reflection(qcoeffs.reshape(B, -1))
+        c = coeffs.reflection_to_lpc(g, order.reshape(B))
+    else:
+        # Pallas fast paths: lane-parallel dequantize+integer-Levinson
+        # (bit-identical for every valid stream — kernels/coeffs.py)
+        from ..kernels.coeffs import lpc_from_q_pallas
+
+        c = lpc_from_q_pallas(qcoeffs.reshape(B, -1), order.reshape(B))
     e2 = residues.reshape(B, S)
     if iir == "pallas":
         x = iir_synthesize_pallas(e2, c, fast=True)

@@ -26,6 +26,7 @@ from ..ref import container
 from ..ref.frame import validate_subframe_layout
 from ..utils.bitpack import unpack_blocks
 from .pipeline import decode_step
+from ..utils.platform import backend_is_tpu as _backend_is_tpu
 
 DEFAULT_CHUNK_FRAMES = 128  # latency/throughput tradeoff for playback
 
@@ -45,7 +46,7 @@ def decode_stream(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
     if kernel is None:
         import jax
 
-        if jax.default_backend() == "tpu":
+        if _backend_is_tpu():
             kernel = "pallas" if header.bits_per_sample <= 24 else "pallas_generic"
         else:
             kernel = "scan"

@@ -98,9 +98,9 @@ class RuntimeConfig:
         generic hi/lo kernel for 32-bit), lax.scan elsewhere."""
         if self.iir_kernel != "auto":
             return self.iir_kernel
-        import jax
+        from .utils.platform import backend_is_tpu
 
-        if jax.default_backend() == "tpu":
+        if backend_is_tpu():
             return "pallas" if bits_per_sample <= 24 else "pallas_generic"
         return "scan"
 

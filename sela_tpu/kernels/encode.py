@@ -30,6 +30,7 @@ from ..format import MAX_ORDER, REF_Q
 from ..ops import i64
 
 import os
+from ..utils.platform import backend_is_tpu as _backend_is_tpu
 
 P = MAX_ORDER
 # Rows per grid cell. The unrolled tap/k loops keep ~430 KB of VMEM
@@ -207,7 +208,7 @@ def autocorr_pallas(x: jax.Array, max_lag: int = MAX_ORDER,
                     interpret: bool | None = None) -> jax.Array:
     """Drop-in for ops.analysis.autocorr: [B, S] int32 -> [B, max_lag+1] f32."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _backend_is_tpu()
     B, S = x.shape
     pad = (-B) % ROWS_AC
     if pad:
@@ -336,7 +337,7 @@ def analyze_pallas(x: jax.Array, n_valid: jax.Array,
     non-normative; the emitted stream stays decode-exact regardless.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _backend_is_tpu()
     B = x.shape[0]
     r = autocorr_pallas(x, MAX_ORDER, interpret)          # [B, P+1] f32
     pad = (-B) % LANES_LEV
@@ -344,6 +345,172 @@ def analyze_pallas(x: jax.Array, n_valid: jax.Array,
     nvt = jnp.pad(n_valid.astype(jnp.int32), (0, pad))[None, :]
     o, qt, cost = _levinson_tiles(rt, nvt, max_order, interpret)
     return o[0, :B], qt.T[:B], cost[0, :B]
+
+
+ROWS_PC = 64  # rows per quarter-counts grid cell
+
+
+def _quarter_counts_kernel(e_ref, nv_ref, pc_ref):
+    """Per-quarter zigzag bit counts for partitioned-residue planning.
+
+    e_ref: [R, S] int32 residues (anything beyond n_valid is ignored — the
+    quarter masks are subsets of [0, n_valid)); nv_ref: [R, 1] int32;
+    pc_ref: [R, 4*32] int32, column q*32+j = count of values in quarter q
+    (positions [q*n/4, (q+1)*n/4)) whose zigzag has bit j set.
+
+    Exists for structure, not speed: as plain jnp inside the encode graph
+    these 4x32 masked reductions made XLA:CPU's compile explode (>30 min,
+    ~14 GB of LLVM state — round 4 post-mortem; the r2/r3 optimization
+    barriers no longer contain the re-fusion). A pallas_call is a fusion
+    boundary by construction, on TPU and in interpret mode alike, so the
+    planning compiles in seconds everywhere and is faster on TPU to boot.
+    """
+    R, S = e_ref.shape
+    e = e_ref[:, :]
+    u = jax.lax.bitcast_convert_type(
+        (e << 1) ^ jax.lax.shift_right_arithmetic(e, 31), jnp.uint32
+    )
+    nv = nv_ref[:, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    one = jnp.uint32(1)
+    for q in range(4):
+        lo = (q * nv) >> 2          # nonneg: shift == floor div by 4
+        hi = ((q + 1) * nv) >> 2
+        uq = jnp.where((iota >= lo) & (iota < hi), u, jnp.uint32(0))
+        for j in range(32):
+            pc_ref[:, q * 32 + j : q * 32 + j + 1] = jnp.sum(
+                jax.lax.bitcast_convert_type((uq >> j) & one, jnp.int32),
+                axis=1, keepdims=True,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _quarter_counts_tiles(e, nv2, interpret: bool):
+    B, S = e.shape
+    return pl.pallas_call(
+        _quarter_counts_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 4 * KSUMS), jnp.int32),
+        grid=(B // ROWS_PC,),
+        in_specs=[
+            pl.BlockSpec((ROWS_PC, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS_PC, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS_PC, 4 * KSUMS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(e, nv2)
+
+
+def quarter_counts_pallas(e: jax.Array, n_valid: jax.Array,
+                          interpret: bool | None = None) -> jax.Array:
+    """[B, S] residues + [B] counts -> [B, 4, 32] per-quarter bit counts,
+    identical to masking each quarter and running ops.rice.bit_counts."""
+    if interpret is None:
+        interpret = not _backend_is_tpu()
+    B, S = e.shape
+    pad = (-B) % ROWS_PC
+    if pad:
+        e = jnp.pad(e, ((0, pad), (0, 0)))
+        n_valid = jnp.pad(n_valid, (0, pad))
+    nv2 = n_valid.astype(jnp.int32)[:, None]
+    pc = _quarter_counts_tiles(e, nv2, interpret)
+    return pc[:B].reshape(B, 4, KSUMS)
+
+
+LANES_KSEL = 512  # rows per k-select grid cell (lane-resident)
+
+
+def _make_ksel_kernel(k_max: int):
+    """Optimal Rice k from per-bit population counts, one row per lane.
+
+    Same selection semantics as ops.rice.k_and_bits_from_counts (ties to the
+    lowest k, verbatim escape when 32n is strictly cheaper, empty rows -> 0),
+    which the jnp path spends ~400 tiny HBM-resident ops on. Here the 64-bit
+    cost recurrence S(k) = 2*S(k+1) + counts[k] runs on lane vectors as an
+    explicit (int32 hi, uint32 lo) pair; iterating k downward with <= makes
+    the lowest k win ties, matching the ascending strict-< of the jnp loop.
+    """
+    from ..format import RICE_K_ESCAPE
+
+    def kernel(ct_ref, nv_ref, k_ref, bits_ref):
+        # ct_ref: [32, L] i32 counts^T; nv_ref: [1, L] i32
+        L = ct_ref.shape[1]
+        n = nv_ref[:, :]
+        u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+        i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        s_hi = jnp.zeros((1, L), jnp.int32)
+        s_lo = u32(ct_ref[31:32, :])
+        best_k = jnp.zeros((1, L), jnp.int32)
+        b_hi = jnp.full((1, L), jnp.int32(0x7FFFFFFF))
+        b_lo = jnp.full((1, L), jnp.uint32(0xFFFFFFFF))
+        for k in range(30, -1, -1):
+            # S(k) = 2*S(k+1) + counts[k]; hi stays < 2^11 (S(0) < n * 2^32)
+            s_hi = (s_hi << 1) | i32(s_lo >> 31)
+            s_lo = s_lo << 1
+            lo2 = s_lo + u32(ct_ref[k : k + 1, :])
+            s_hi = s_hi + i32((lo2 < s_lo).astype(jnp.int32))
+            s_lo = lo2
+            if k <= k_max:
+                # cost = S(k) + n*(k+1), nonneg and < 2^44
+                m = u32(n * (k + 1))
+                c_lo = s_lo + m
+                c_hi = s_hi + i32((c_lo < s_lo).astype(jnp.int32))
+                better = (c_hi < b_hi) | ((c_hi == b_hi) & (c_lo <= b_lo))
+                best_k = jnp.where(better, k, best_k)
+                b_hi = jnp.where(better, c_hi, b_hi)
+                b_lo = jnp.where(better, c_lo, b_lo)
+        verb = n * 32  # n <= 65535 so this is exact int32
+        escape = (b_hi > 0) | (u32(verb) < b_lo)
+        kk = jnp.where(escape, RICE_K_ESCAPE, best_k)
+        bits = jnp.where(escape, verb, i32(b_lo))
+        empty = n == 0
+        k_ref[:, :] = jnp.where(empty, 0, kk)
+        bits_ref[:, :] = jnp.where(empty, 0, bits)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k_max", "interpret"))
+def _ksel_tiles(ct, nvt, k_max: int, interpret: bool):
+    _, B = ct.shape
+    return pl.pallas_call(
+        _make_ksel_kernel(k_max),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.int32),  # k
+            jax.ShapeDtypeStruct((1, B), jnp.int32),  # bits
+        ),
+        grid=(B // LANES_KSEL,),
+        in_specs=[
+            pl.BlockSpec((KSUMS, LANES_KSEL), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES_KSEL), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LANES_KSEL), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES_KSEL), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ct, nvt)
+
+
+def ksel_pallas(counts: jax.Array, n_valid: jax.Array, k_max: int,
+                interpret: bool | None = None):
+    """Drop-in for ops.rice.k_and_bits_from_counts: counts [B, 32] + n [B]
+    -> (k [B], bits [B]), bit-identical for any counts <= n <= 65535."""
+    if interpret is None:
+        interpret = not _backend_is_tpu()
+    B = counts.shape[0]
+    pad = (-B) % LANES_KSEL
+    ct = jnp.pad(counts.astype(jnp.int32), ((0, pad), (0, 0))).T
+    nvt = jnp.pad(n_valid.astype(jnp.int32), (0, pad))[None, :]
+    k, bits = _ksel_tiles(ct, nvt, k_max, interpret)
+    return k[0, :B], bits[0, :B]
 
 
 def fir_rice_pallas(x: jax.Array, coeffs: jax.Array, order: jax.Array,
@@ -357,7 +524,7 @@ def fir_rice_pallas(x: jax.Array, coeffs: jax.Array, order: jax.Array,
     feed counts to ops.rice.k_and_bits_from_counts for the exact k search.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _backend_is_tpu()
     B, S = x.shape
     pad = (-B) % ROWS
     if pad:

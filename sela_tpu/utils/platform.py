@@ -8,16 +8,50 @@ force_cpu() removes it before any backend initializes.
 from __future__ import annotations
 
 
+def host_fingerprint() -> str:
+    """Short stable id of THIS machine's CPU feature set.
+
+    XLA's persistent-cache key does NOT include host CPU features, but its
+    CPU backend caches AOT machine code. /root/repo is a volume shared
+    between sandbox machines with different CPUs, so an unscoped cache dir
+    hands one machine another machine's native code. Observed failure modes
+    of exactly that (round 4): cpu_aot_loader feature-mismatch errors
+    ("could lead to execution errors such as SIGILL"), an encode dispatch
+    spinning forever inside one Eigen thread while np.asarray blocks in
+    jax.Array._value (the "flaky CPU hang" tests/conftest.py had blamed on
+    the axon plugin), and a foreign executable emitting different bytes
+    than a natively compiled one.
+    """
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f.read().splitlines()
+                 if ln.startswith("flags")),
+                platform.processor(),
+            )
+    except OSError:  # pragma: no cover
+        flags = platform.processor()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
-    """Persistent XLA compilation cache.
+    """Persistent XLA compilation cache, scoped per host machine.
 
     The sandbox TPU compiles via a remote tunnel that can take tens of
     seconds per executable; caching compiled binaries on disk makes repeat
-    runs (bench reruns, driver checks) start fast.
+    runs (bench reruns, driver checks) start fast. The per-host subdirectory
+    is load-bearing — see host_fingerprint().
     """
+    import os
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(path, host_fingerprint())
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
@@ -26,12 +60,42 @@ def force_cpu() -> None:
 
     Must be called before the first jax computation/backend init.
     """
+    import os
+
     from jax._src import xla_bridge
 
     xla_bridge._backend_factories.pop("axon", None)
     import jax
 
+    os.environ["JAX_PLATFORMS"] = "cpu"  # keep backend_is_tpu() consistent
     jax.config.update("jax_platforms", "cpu")
+
+
+def backend_is_tpu() -> bool:
+    """True iff jax will run on TPU — WITHOUT initializing any backend when
+    the platform is already pinned by config or environment.
+
+    Asking `jax.default_backend()` initializes the runtime. In this sandbox
+    that means creating the axon tunnel client (~70 s measured) even for
+    pure-CPU work — and a live-but-unused axon client poisons subsequent CPU
+    dispatch (measured: ~55 s per 8-frame encode chunk vs ~0.3 s clean; the
+    same class of hang tests/conftest.py documents). Library code that only
+    needs "am I on TPU?" (kernel selection, fused-path defaults) must
+    therefore consult the static pins first and touch the backend only when
+    the answer cannot be known without it.
+    """
+    import os
+
+    import jax
+
+    # env before config: sitecustomize imports jax at interpreter startup, so
+    # the config value can be a stale snapshot of the env a user then changed
+    # before running any computation (backend init itself honors the env).
+    pinned = os.environ.get("JAX_PLATFORMS", "") or (jax.config.jax_platforms
+                                                     or "")
+    if pinned:
+        return pinned.split(",")[0].strip().lower() in ("tpu", "axon")
+    return jax.default_backend() == "tpu"
 
 
 def respect_platform_env() -> None:

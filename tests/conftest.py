@@ -28,8 +28,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite's many jit signatures (static profile
 # knobs, chunk shapes) compile once per machine instead of once per run.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# MUST be per-host-scoped: /root/repo is shared between machines with
+# different CPUs, and XLA:CPU cache entries embed native AOT code — loading
+# a foreign machine's entry hangs or miscomputes (utils.platform has the
+# full post-mortem; this was the real cause of the "flaky CPU hang" the
+# docstring above used to pin solely on the axon plugin).
+from sela_tpu.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import numpy as np
 import pytest

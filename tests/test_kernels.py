@@ -162,3 +162,57 @@ def test_autocorr_pallas_matches_jnp(rng, signal_factory):
     want = np.asarray(jax.jit(analysis.autocorr)(jnp.asarray(x)))
     got = np.asarray(autocorr_pallas(jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_lpc_from_q_pallas_matches_jnp(rng):
+    """Lane-parallel dequantize+integer-Levinson kernel == jnp pair, bit for
+    bit, for every valid q (the encoder's clamp range), incl. lane padding."""
+    from sela_tpu.kernels.coeffs import lpc_from_q_pallas
+
+    B = 67  # forces lane-tile padding
+    orders, q = _plan(rng, B)
+    want = np.asarray(_refl2lpc(_dequant(jnp.asarray(q)), jnp.asarray(orders)))
+    got = np.asarray(
+        lpc_from_q_pallas(jnp.asarray(q), jnp.asarray(orders), interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # extreme valid values at full order stress the SAT clamp every step
+    for val in (-64, 63):
+        qe = np.full((4, MAX_ORDER), val, np.int32)
+        oe = np.full(4, MAX_ORDER, np.int32)
+        want = np.asarray(_refl2lpc(_dequant(jnp.asarray(qe)), jnp.asarray(oe)))
+        got = np.asarray(
+            lpc_from_q_pallas(jnp.asarray(qe), jnp.asarray(oe), interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=str(val))
+    # hostile q (possible only in crafted containers): bounded garbage, no UB
+    qh = rng.integers(-2**31, 2**31 - 1, (8, MAX_ORDER)).astype(np.int32)
+    oh = np.full(8, MAX_ORDER, np.int32)
+    gh = np.asarray(
+        lpc_from_q_pallas(jnp.asarray(qh), jnp.asarray(oh), interpret=True))
+    assert np.abs(gh.astype(np.int64)).max() <= (1 << 23)
+
+
+def test_ksel_pallas_matches_jnp(rng):
+    """Lane-parallel k-selection == ops.rice.k_and_bits_from_counts for
+    random, empty, and escape-forcing rows, at both k_max caps."""
+    from sela_tpu.kernels.encode import ksel_pallas
+    from sela_tpu.ops import rice as ops_rice
+
+    B, N = 100, 512
+    vals = (rng.integers(-(2**20), 2**20, (B, N))
+            * (rng.random((B, N)) < 0.7)).astype(np.int32)
+    vals[0] = 0                      # all-zero row
+    vals[1] = np.int32(-(2**31))     # max-magnitude zigzag -> escape
+    nv = rng.integers(0, N + 1, B).astype(np.int32)
+    nv[2] = 0                        # empty row
+    u = np.array(ops_rice.zigzag(jnp.asarray(vals)))  # writable copy
+    u[np.arange(N)[None, :] >= nv[:, None]] = 0
+    counts = np.asarray(ops_rice.bit_counts(jnp.asarray(u)))
+    for kmax in (30, 7):
+        k_w, b_w = ops_rice.k_and_bits_from_counts(
+            jnp.asarray(counts), jnp.asarray(nv), kmax)
+        k_g, b_g = ksel_pallas(
+            jnp.asarray(counts), jnp.asarray(nv), kmax, interpret=True)
+        np.testing.assert_array_equal(np.asarray(k_g), np.asarray(k_w),
+                                      err_msg=f"k_max={kmax}")
+        np.testing.assert_array_equal(np.asarray(b_g), np.asarray(b_w),
+                                      err_msg=f"k_max={kmax}")
