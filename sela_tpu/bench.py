@@ -337,6 +337,31 @@ def run_bench(seconds: float = 300.0, engine: str = "jax",
         "device": f"{dev.platform}:{dev.device_kind}",
     }
 
+    # --- beyond-reference: adaptive partitioned residues (v2 profile) ------
+    # measured on-chip so the ratio win and its throughput cost are recorded
+    # per round (FORMAT.md §Partitioned residues; default profile stays v1)
+    if not os.environ.get("SELA_BENCH_SKIP_PARTITION"):
+        from .codec.decoder import decode_sela
+        from .codec.encoder import encode_wav
+        from .config import BitstreamProfile
+
+        v2 = BitstreamProfile(residue_partition=4)
+        pcm_cd = w_cd.n_samples * w_cd.n_channels * w_cd.bits_per_sample // 8
+        buf2 = encode_wav(w_cd, profile=v2)  # warmup/compile
+        t2, buf2 = _timed_min(
+            lambda: encode_wav(w_cd, profile=v2), max(e2e_iters - 1, 1))
+        _assert_equal_wav(w_cd, decode_sela(buf2), "partitioned v2")
+        r2 = len(buf2) / pcm_cd
+        detail["partitioned_v2"] = {
+            "encode_gbps": round(pcm_cd / t2 / 1e9, 4),
+            "compression_ratio": round(r2, 4),
+            "ratio_delta_vs_v1": round(r2 - e2e["compression_ratio"], 4),
+            "bit_exact": True,
+        }
+        print(f"[bench] partitioned v2: encode {pcm_cd/t2/1e9:.3f} GB/s, "
+              f"ratio {r2:.4f} ({r2 - e2e['compression_ratio']:+.4f} vs v1)",
+              file=sys.stderr)
+
     # --- BASELINE config #4: 24-bit/96k hi-res (limb-kernel domain) --------
     if not os.environ.get("SELA_BENCH_SKIP_HIRES"):
         l24, r24 = make_corpus(min(seconds / 4, 60.0), rate=96000, seed=1,

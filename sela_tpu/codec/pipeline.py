@@ -69,8 +69,10 @@ def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
     Returns dict of per-row arrays incl. block_bits (the exact-bits decision
     metric: padded-word bits + partitioned header bytes).
     """
+    import os
+
     S = xb.shape[1]
-    if fused:
+    if fused and not os.environ.get("SELA_NO_LPC_KERNEL"):
         # lane-parallel Pallas dequantize+integer-Levinson (bit-identical for
         # encoder-produced q, which is always in [-64, 63] — kernels/coeffs)
         from ..kernels.coeffs import lpc_from_q_pallas
@@ -83,7 +85,7 @@ def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
         from ..kernels.encode import fir_rice_pallas
 
         e, eff_order, counts = fir_rice_pallas(xb, c, order, nv)
-        if partition == 1:
+        if partition == 1 and not os.environ.get("SELA_NO_KSEL_KERNEL"):
             # defer k selection: combined with the coeff blocks in one
             # lane-parallel ksel_pallas call below
             counts_res = counts
@@ -376,9 +378,12 @@ def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
     B = F * C
     # accept int16 wire residues (host sends them when every value fits —
     # halves the host->device transfer); codec math is int32
+    import os
+
     residues = residues.astype(jnp.int32)
-    if iir == "scan":
-        # pure-jnp normative reference path
+    if iir == "scan" or os.environ.get("SELA_NO_LPC_KERNEL"):
+        # pure-jnp normative reference path (the env toggle is a perf
+        # diagnostic — all paths are bit-identical on valid streams)
         g = coeffs.dequantize_reflection(qcoeffs.reshape(B, -1))
         c = coeffs.reflection_to_lpc(g, order.reshape(B))
     else:

@@ -216,3 +216,36 @@ def test_ksel_pallas_matches_jnp(rng):
                                       err_msg=f"k_max={kmax}")
         np.testing.assert_array_equal(np.asarray(b_g), np.asarray(b_w),
                                       err_msg=f"k_max={kmax}")
+
+
+def test_tap_tier_branches_bit_exact(rng, signal_factory):
+    """Homogeneous low-order tiles select the 8/16-tap loop variants in both
+    the IIR and fused FIR kernels — outputs must equal the scan/jnp paths."""
+    from sela_tpu.kernels.encode import fir_rice_pallas
+    from sela_tpu.ops import rice as ops_rice
+
+    for hi in (5, 8, 13, 16, 22):  # max order per batch drives the tier
+        B, N = 4, 512
+        orders = rng.integers(1, hi + 1, B).astype(np.int32)
+        orders[0] = hi  # pin the tile max
+        q = rng.integers(-64, 64, (B, MAX_ORDER)).astype(np.int32)
+        q[np.arange(MAX_ORDER)[None, :] >= orders[:, None]] = 0
+        x = np.stack([signal_factory(rng, N, kind="ar") for _ in range(B)])
+        c = _refl2lpc(_dequant(jnp.asarray(q)), jnp.asarray(orders))
+        nv = np.full(B, N, np.int32)
+        e_want, eff_want = jax.jit(ops_filters.fir_residues_fast)(
+            jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(nv))
+        k_want, _, _ = jax.jit(ops_rice.plan_blocks)(e_want, jnp.asarray(nv))
+        e_got, eff_got, counts = fir_rice_pallas(
+            jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(nv),
+            interpret=True)
+        k_got, _ = ops_rice.k_and_bits_from_counts(counts, jnp.asarray(nv))
+        np.testing.assert_array_equal(np.asarray(e_got), np.asarray(e_want),
+                                      err_msg=f"fir hi={hi}")
+        np.testing.assert_array_equal(np.asarray(k_got), np.asarray(k_want),
+                                      err_msg=f"k hi={hi}")
+        want = np.asarray(_iir_ref(e_want, c))
+        got = np.asarray(
+            iir_synthesize_pallas(e_want, c, interpret=True, fast=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"iir hi={hi}")
+        np.testing.assert_array_equal(got, x, err_msg=f"iir inv hi={hi}")
