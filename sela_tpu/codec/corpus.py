@@ -14,7 +14,7 @@ import numpy as np
 
 from ..format import FRAME_SIZE
 from ..ref import container
-from ..ref.frame import SubFrame, validate_subframe_layout
+from ..ref.frame import SubFrame, check_coeff_range, validate_subframe_layout
 from ..ref.wav import WavData
 from ..utils.bitpack import pack_blocks, unpack_blocks
 from .decoder import DEFAULT_CHUNK_FRAMES
@@ -166,6 +166,7 @@ def decode_files(bufs: list[bytes], chunk_frames: int = DEFAULT_CHUNK_FRAMES) ->
             pos += h.num_frames
         values = unpack_blocks(blocks)
         for j, (fi, ch, order, t, ns) in enumerate(meta):
+            check_coeff_range(values[2 * j])
             qcoeffs[fi, ch, :order] = values[2 * j]
             residues[fi, ch, :ns] = values[2 * j + 1]
             orders[fi, ch] = order

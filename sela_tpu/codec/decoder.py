@@ -17,6 +17,7 @@ import numpy as np
 
 from ..format import FRAME_SIZE, MAX_ORDER, SYNC
 from ..ref import container
+from ..ref import frame as frame_mod
 from ..ref.wav import WavData
 from ..utils.bitpack import unpack_blocks
 from .pipeline import decode_step
@@ -186,6 +187,7 @@ def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
                 _exclusive_cumsum(nwc)[:-1], nwc, order,
                 sf["k_coeff"][lo_sf:hi_sf],
             )
+            frame_mod.check_coeff_range(qvals)
             evals = nat.unpack_blocks_flat(
                 sf["res_words"][rw_offs[lo_sf] : rw_offs[hi_sf]],
                 _exclusive_cumsum(nwr)[:-1], nwr, rcount,
@@ -212,6 +214,7 @@ def decode_sela(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         qvals = (
             np.concatenate(values[0::2]) if values else np.zeros(0, np.int32)
         )
+        frame_mod.check_coeff_range(qvals)
         evals = (
             np.concatenate(values[1::2]) if values else np.zeros(0, np.int32)
         )

@@ -115,8 +115,17 @@ def _render_rows(xb: jax.Array, q: jax.Array, order: jax.Array,
         # ~14 GB of LLVM state (round 4 post-mortem in kernels/encode.py);
         # this form compiles in seconds on CPU and TPU and is bit-identical
         # (ksel_pallas == ops.rice.k_and_bits_from_counts, tested).
+        from ..format import RESIDUE_PARTS
         from ..kernels.encode import ksel_pallas, quarter_counts_pallas
 
+        # quarter_counts_pallas hard-codes RESIDUE_PARTS=4 quarters (>>2 in
+        # the kernel) while lo/hi below are generic in `partition`; keep the
+        # coupling explicit so a future partition count fails here, loudly
+        # (ADVICE r4), not on a shape mismatch deep in the kernel.
+        assert partition == RESIDUE_PARTS == 4, (
+            f"partitioned planning kernel supports partition=4 only, "
+            f"got {partition}"
+        )
         nv32 = nv.astype(jnp.int32)
         pc4 = quarter_counts_pallas(e, nv32)              # [B, 4, 32]
         qcols = jnp.arange(partition, dtype=jnp.int32)[None, :]

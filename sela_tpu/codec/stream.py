@@ -23,7 +23,7 @@ import numpy as np
 
 from ..format import FRAME_SIZE, MAX_ORDER
 from ..ref import container
-from ..ref.frame import validate_subframe_layout
+from ..ref.frame import check_coeff_range, validate_subframe_layout
 from ..utils.bitpack import unpack_blocks
 from .pipeline import decode_step
 from ..utils.platform import backend_is_tpu as _backend_is_tpu
@@ -79,6 +79,7 @@ def decode_stream(buf: bytes, chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         for i, (fi, ch, order, t, ns) in enumerate(meta):
             if order > MAX_ORDER or ns > S:
                 raise container.ContainerError("order/frame size out of range")
+            check_coeff_range(values[2 * i])
             qcoeffs[fi, ch, :order] = values[2 * i]
             residues[fi, ch, :ns] = values[2 * i + 1]
             orders[fi, ch] = order

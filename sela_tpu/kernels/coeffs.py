@@ -18,9 +18,10 @@ to ~12 int32 ops via an exact limb identity:
 
 Exactness domain: bit-identical to ops.coeffs for any q with the in-kernel
 clamp |g| <= 2^20 a no-op — i.e. every valid stream (q in [-64, 63] always
-dequantizes inside it). Out-of-range q (possible only in hostile containers,
-which FORMAT.md leaves unspecified beyond "no crash") yields deterministic
-bounded garbage, like the limb IIR/FIR kernels.
+dequantizes inside it). Out-of-range q never reaches this kernel anymore:
+every decode path rejects it at unpack (FORMAT.md §Decoder validation,
+ref.frame.check_coeff_range — ADVICE r4); the clamp stays as defense in
+depth for direct library callers.
 """
 from __future__ import annotations
 

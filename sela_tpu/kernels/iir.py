@@ -21,11 +21,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from ..format import MAX_ORDER, REF_Q
 from ..ops import i64
 from ..utils.platform import backend_is_tpu as _backend_is_tpu
 
 LANES = 128
+# Fast-kernel tile shape / software pipelining, swept on-chip in
+# tools/roofline.py (r5): the inner recurrence is latency-bound, not
+# issue-bound, so unrolling U steps with partial-sum corrections overlaps
+# U independent multiply/reduce chains. Defaults = sweep winners
+# (ROOFLINE.json); env knobs kept for re-sweeps on new hardware.
+LANES_FAST = int(os.environ.get("SELA_IIR_LANES", "128"))
+UNROLL_FAST = int(os.environ.get("SELA_IIR_UNROLL", "4"))
 P = MAX_ORDER
 
 
@@ -68,7 +77,7 @@ def _iir_kernel(et_ref, crev_ref, out_ref, hist):
     out_ref[:, :] = hist[pl.ds(P, n_samples), :]
 
 
-def _iir_kernel_fast(et_ref, crev_ref, out_ref, hist_l, hist_h):
+def _make_iir_kernel_fast(unroll: int):
     """Limb-decomposed step for |c| < 2^23, |x| < 2^26 (PCM <= 24-bit).
 
     c = ch*2^12 + cl, x = xh*2^13 + xl  =>  every partial product and every
@@ -90,53 +99,100 @@ def _iir_kernel_fast(et_ref, crev_ref, out_ref, hist_l, hist_h):
     hostile-but-accepted stream overflows the prediction (int32 adds wrap the
     same way the low word does). Replacing the i64 epilogue chain (~38 vector
     ops/step) with these ~10 ops measured ~1.2x on the whole kernel.
+
+    Software pipelining (r5, VERDICT item 1): the serial chain per step
+    (tree-reduce -> epilogue -> history write -> next step's products) leaves
+    the VPU idle between dependent issues — tools/roofline.py measured the
+    1-step body at ~3x the chip's issue-bound time. With `unroll` = U, the
+    whole history is pre-zeroed once so the U windows of an iteration can ALL
+    be read and tap-summed up front: a not-yet-written slot contributes zero,
+    and once x[n+j] resolves, each later step's partial sums are corrected
+    with the exact limb products c_d (x) x[n+j] (c_d = crev[P-d]) that the
+    zero slot dropped. Correction + partial sum equals the full sum mod 2^32,
+    and the full sum is in-bounds by the proof above, so the corrected int32
+    bit pattern is IDENTICAL — the epilogue sees the same inputs and the
+    result stays bit-exact while U independent multiply/reduce chains
+    overlap. Requires n_samples % U == 0 (the wrapper guarantees it).
     """
-    n_samples = et_ref.shape[0]
-    zeros = jnp.zeros((P, LANES), jnp.int32)
-    hist_l[0:P, :] = zeros
-    hist_h[0:P, :] = zeros
-    crev = crev_ref[:, :]
-    ch = jax.lax.shift_right_arithmetic(crev, 12)  # [-2^11, 2^11)
-    cl = crev & 0xFFF                              # [0, 2^12)
+    U = unroll
 
-    def step(n, _):
-        wl = hist_l[pl.ds(n, P), :]                # xl of x[n-P .. n-1]
-        wh = hist_h[pl.ds(n, P), :]                # xh
-        s_hh = jnp.sum(ch * wh, axis=0, keepdims=True)  # each |sum| < 2^29
-        s_hl = jnp.sum(ch * wl, axis=0, keepdims=True)
-        s_lh = jnp.sum(cl * wh, axis=0, keepdims=True)
-        s_ll = jnp.sum(cl * wl, axis=0, keepdims=True)
-        u = s_ll + jnp.int32(1 << 19)
-        v = s_lh + (u >> 13)
-        c2 = ((v & 0x7F) << 13) | (u & 0x1FFF)
-        pred = (s_hh << 5) + jax.lax.shift_right_arithmetic(v, 7) + (
-            jax.lax.shift_right_arithmetic(s_hl + (c2 >> 12), 8)
-        )
-        x_n = et_ref[pl.ds(n, 1), :] + pred
-        hist_l[pl.ds(n + P, 1), :] = x_n & 0x1FFF
-        hist_h[pl.ds(n + P, 1), :] = jax.lax.shift_right_arithmetic(x_n, 13)
-        out_ref[pl.ds(n, 1), :] = x_n
-        return 0
+    def kernel(et_ref, crev_ref, out_ref, hist_l, hist_h):
+        n_samples = et_ref.shape[0]
+        L = et_ref.shape[1]
+        zeros_all = jnp.zeros((P + n_samples, L), jnp.int32)
+        hist_l[:, :] = zeros_all   # future slots MUST read as zero (see above)
+        hist_h[:, :] = zeros_all
+        crev = crev_ref[:, :]
+        ch = jax.lax.shift_right_arithmetic(crev, 12)  # [-2^11, 2^11)
+        cl = crev & 0xFFF                              # [0, 2^12)
+        # correction tap limbs: crev[P - d] is c_d (the coefficient a later
+        # step's window applies to a sample resolved d steps earlier)
+        ch_t = [ch[P - d : P - d + 1, :] for d in range(1, U)]
+        cl_t = [cl[P - d : P - d + 1, :] for d in range(1, U)]
 
-    jax.lax.fori_loop(0, n_samples, step, 0)
+        def step(i, _):
+            n = i * U
+            # read all U windows BEFORE any write of this iteration
+            s = []
+            for j in range(U):
+                wl = hist_l[pl.ds(n + j, P), :]        # xl of window j
+                wh = hist_h[pl.ds(n + j, P), :]        # xh
+                s.append([
+                    jnp.sum(ch * wh, axis=0, keepdims=True),
+                    jnp.sum(ch * wl, axis=0, keepdims=True),
+                    jnp.sum(cl * wh, axis=0, keepdims=True),
+                    jnp.sum(cl * wl, axis=0, keepdims=True),
+                ])
+            for j in range(U):
+                s_hh, s_hl, s_lh, s_ll = s[j]
+                u = s_ll + jnp.int32(1 << 19)
+                v = s_lh + (u >> 13)
+                c2 = ((v & 0x7F) << 13) | (u & 0x1FFF)
+                pred = (s_hh << 5) + jax.lax.shift_right_arithmetic(v, 7) + (
+                    jax.lax.shift_right_arithmetic(s_hl + (c2 >> 12), 8)
+                )
+                x_n = et_ref[pl.ds(n + j, 1), :] + pred
+                xl = x_n & 0x1FFF
+                xh = jax.lax.shift_right_arithmetic(x_n, 13)
+                hist_l[pl.ds(n + j + P, 1), :] = xl
+                hist_h[pl.ds(n + j + P, 1), :] = xh
+                out_ref[pl.ds(n + j, 1), :] = x_n
+                for d in range(1, U - j):
+                    t = s[j + d]
+                    t[0] = t[0] + ch_t[d - 1] * xh
+                    t[1] = t[1] + ch_t[d - 1] * xl
+                    t[2] = t[2] + cl_t[d - 1] * xh
+                    t[3] = t[3] + cl_t[d - 1] * xl
+            return 0
+
+        jax.lax.fori_loop(0, n_samples // U, step, 0)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _iir_tiles_fast(et: jax.Array, crev: jax.Array, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "lanes", "unroll"))
+def _iir_tiles_fast(et: jax.Array, crev: jax.Array, interpret: bool,
+                    lanes: int = 0, unroll: int = 0):
     N, Bp = et.shape
-    grid = (Bp // LANES,)
+    lanes = lanes or LANES_FAST
+    unroll = unroll or UNROLL_FAST
+    if N % unroll or Bp % lanes:
+        lanes, unroll = LANES, 1  # uncommon shapes take the plain body
+    grid = (Bp // lanes,)
     return pl.pallas_call(
-        _iir_kernel_fast,
+        _make_iir_kernel_fast(unroll),
         out_shape=jax.ShapeDtypeStruct((N, Bp), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((N, lanes), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((P + N, LANES), jnp.int32),
-            pltpu.VMEM((P + N, LANES), jnp.int32),
+            pltpu.VMEM((P + N, lanes), jnp.int32),
+            pltpu.VMEM((P + N, lanes), jnp.int32),
         ],
         interpret=interpret,
     )(et, crev)
@@ -163,24 +219,30 @@ def _iir_tiles(et: jax.Array, crev: jax.Array, interpret: bool):
 
 def iir_synthesize_pallas(e: jax.Array, coeffs: jax.Array,
                           interpret: bool | None = None,
-                          fast: bool = True) -> jax.Array:
+                          fast: bool = True, lanes: int = 0,
+                          unroll: int = 0) -> jax.Array:
     """Drop-in replacement for ops.filters.iir_synthesize.
 
     e: [B, N] int32 residues; coeffs: [B, P] int32 Q20 (zero beyond order).
     fast=True uses the limb-decomposed kernel — exact for any PCM <= 24-bit
     (|x| < 2^26; coeffs are spec-bounded to 2^23). Use fast=False (generic
-    64-bit hi/lo kernel) for 32-bit PCM.
+    64-bit hi/lo kernel) for 32-bit PCM. lanes/unroll override the fast
+    kernel's tile width / software-pipeline depth (0 = tuned defaults; used
+    by tools/roofline.py sweeps).
     """
     if interpret is None:
         interpret = not _backend_is_tpu()
     B, N = e.shape
-    pad = (-B) % LANES
+    tile = (lanes or LANES_FAST) if fast else LANES
+    pad = (-B) % tile
     if pad:
         e = jnp.pad(e, ((0, pad), (0, 0)))
         coeffs = jnp.pad(coeffs, ((0, pad), (0, 0)))
     et = e.T                                   # [N, Bp] time-major
     crev = coeffs[:, ::-1].T                   # [P, Bp]
-    tiles = _iir_tiles_fast if fast else _iir_tiles
-    xt = tiles(et, crev, interpret)
+    if fast:
+        xt = _iir_tiles_fast(et, crev, interpret, lanes, unroll)
+    else:
+        xt = _iir_tiles(et, crev, interpret)
     x = xt.T
     return x[:B] if pad else x

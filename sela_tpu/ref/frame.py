@@ -16,8 +16,24 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..errors import ContainerError
-from ..format import SF_DIRECT, SF_MID, SF_SIDE
+from ..format import Q_CLAMP_HI, Q_CLAMP_LO, SF_DIRECT, SF_MID, SF_SIDE
 from . import lpc, rice
+
+
+def check_coeff_range(q: np.ndarray) -> None:
+    """Normative (FORMAT.md §Decoder validation): decoded quantized
+    reflection coefficients MUST lie in [-64, 63] — the encoder clamp range.
+
+    Out-of-range values can only appear in crafted containers; before this
+    rule they reached the dequantize/Levinson stage, where the int64 oracle,
+    the jnp path, and the Pallas kernels (which clamp |g| <= 2^20 for their
+    limb-arithmetic bounds) produced DIFFERENT deterministic garbage
+    (ADVICE r4). Rejecting at unpack restores cross-path bit-identity on
+    every accepted stream.
+    """
+    q = np.asarray(q)
+    if q.size and (q.min() < Q_CLAMP_LO or q.max() > Q_CLAMP_HI):
+        raise ContainerError("quantized coefficient out of range")
 
 
 @dataclass
@@ -163,6 +179,7 @@ def decode_frame(subframes: list[SubFrame], nch: int) -> list[np.ndarray]:
     types = [SF_DIRECT] * nch
     for sf in subframes:
         q = rice.decode(sf.coeff_words, sf.order, sf.k_coeff)
+        check_coeff_range(q)
         if sf.k_res == RICE_PARTITION_MARKER:
             e = rice.decode_partitioned(sf.res_words, sf.n_samples,
                                         sf.k_res_sub)

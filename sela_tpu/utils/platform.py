@@ -38,20 +38,26 @@ def host_fingerprint() -> str:
 
 
 def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
-    """Persistent XLA compilation cache, scoped per host machine.
+    """Persistent XLA compilation cache, host-scoped only for CPU backends.
 
     The sandbox TPU compiles via a remote tunnel that can take tens of
     seconds per executable; caching compiled binaries on disk makes repeat
-    runs (bench reruns, driver checks) start fast. The per-host subdirectory
-    is load-bearing — see host_fingerprint().
+    runs (bench reruns, driver checks) start fast.
+
+    Scoping (ADVICE r4): TPU executables are compiled by the TPU toolchain
+    and contain no host-CPU machine code, so they live in a shared "tpu"
+    subdirectory that stays warm across sandbox machines. Only CPU-backend
+    runs use the per-host fingerprint subdirectory — XLA:CPU caches AOT
+    *host* machine code whose cache key ignores CPU features, and /root/repo
+    is a volume shared between machines with different CPUs (see
+    host_fingerprint() for the observed SIGILL/hang failure modes).
     """
     import os
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(path, host_fingerprint())
-    )
+    sub = "tpu" if backend_is_tpu() else host_fingerprint()
+    jax.config.update("jax_compilation_cache_dir", os.path.join(path, sub))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
@@ -88,11 +94,15 @@ def backend_is_tpu() -> bool:
 
     import jax
 
-    # env before config: sitecustomize imports jax at interpreter startup, so
-    # the config value can be a stale snapshot of the env a user then changed
-    # before running any computation (backend init itself honors the env).
-    pinned = os.environ.get("JAX_PLATFORMS", "") or (jax.config.jax_platforms
-                                                     or "")
+    # config before env: backend selection reads jax.config.jax_platforms,
+    # which snapshots JAX_PLATFORMS at import and is only changed by an
+    # explicit jax.config.update (verified: mutating the env post-import
+    # leaves the config — and therefore the chosen backend — untouched).
+    # A caller that pins CPU via config alone must get the CPU answer even
+    # while the sandbox env still says 'axon' (ADVICE r4). The env fallback
+    # only matters when jax was imported with the config left unset.
+    pinned = (jax.config.jax_platforms or "") or os.environ.get(
+        "JAX_PLATFORMS", "")
     if pinned:
         return pinned.split(",")[0].strip().lower() in ("tpu", "axon")
     return jax.default_backend() == "tpu"

@@ -142,6 +142,32 @@ def test_rice_k_out_of_range(stereo_buf, monkeypatch):
     _assert_all_reject(_reserialize(stereo_buf, mutate_kc), monkeypatch)
 
 
+def test_coeff_value_out_of_range(stereo_buf, monkeypatch):
+    # decoded quantized reflection coefficients outside [-64, 63] must be
+    # rejected (FORMAT.md §Decoder validation): beyond that range the int64
+    # oracle and the limb-arithmetic fast paths would otherwise produce
+    # different deterministic garbage (ADVICE r4)
+    from sela_tpu.ref import rice as ref_rice
+
+    def mutate(f, sfs):
+        k_c, cw = ref_rice.encode(np.array([100], np.int32))
+        sfs[0].order = 1
+        sfs[0].k_coeff = k_c
+        sfs[0].coeff_words = cw
+        return sfs
+
+    _assert_all_reject(_reserialize(stereo_buf, mutate), monkeypatch)
+
+    def mutate_neg(f, sfs):
+        k_c, cw = ref_rice.encode(np.array([-65], np.int32))
+        sfs[1].order = 1
+        sfs[1].k_coeff = k_c
+        sfs[1].coeff_words = cw
+        return sfs
+
+    _assert_all_reject(_reserialize(stereo_buf, mutate_neg), monkeypatch)
+
+
 def test_order_out_of_range_rejected_by_oracle(stereo_buf):
     # order > MAX_ORDER previously decoded "something" in the oracle while
     # the fast path rejected it — both must reject now

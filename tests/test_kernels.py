@@ -77,6 +77,34 @@ def test_iir_pallas_fast_matches_generic(rng, signal_factory):
     np.testing.assert_array_equal(fast, x)
 
 
+def test_iir_pallas_unroll_variants_match(rng, signal_factory):
+    """Every (lanes, unroll) sweep point of the fast kernel is bit-identical
+    to the scan path — the software-pipelined partial-sum + correction
+    restructure (kernels/iir.py r5) must not change a single bit."""
+    B, N = 6, 256
+    x = np.stack(
+        [signal_factory(rng, N, amp=2**23 - 2, kind="noise") for _ in range(B)]
+    ).astype(np.int32)
+    orders = np.array([32, 0, 7, 1, 19, 32], np.int32)
+    q = rng.integers(-64, 64, (B, MAX_ORDER)).astype(np.int32)
+    q[np.arange(MAX_ORDER)[None, :] >= orders[:, None]] = 0
+    c = _refl2lpc(_dequant(jnp.asarray(q)), jnp.asarray(orders))
+    e, eff = _fir(jnp.asarray(x), c, jnp.asarray(orders),
+                  jnp.asarray(np.full(B, N, np.int32)))
+    q_eff = np.where(np.arange(MAX_ORDER)[None, :] < np.asarray(eff)[:, None], q, 0)
+    c2 = _refl2lpc(_dequant(jnp.asarray(q_eff)), eff)
+    want = np.asarray(_iir_ref(e, c2))
+    for unroll in (1, 2, 4, 8):
+        got = np.asarray(iir_synthesize_pallas(
+            e, c2, interpret=True, fast=True, lanes=128, unroll=unroll))
+        np.testing.assert_array_equal(got, want, err_msg=f"unroll={unroll}")
+    # non-dividing unroll falls back to the plain body, still exact
+    got = np.asarray(iir_synthesize_pallas(
+        e[:, :250], c2, interpret=True, fast=True, unroll=4))
+    np.testing.assert_array_equal(
+        got, np.asarray(_iir_ref(e[:, :250], c2)))
+
+
 def test_decode_step_pallas_impls_match(rng, signal_factory):
     """decode_step(iir=...) variants agree through the full frame pipeline."""
     import jax

@@ -1,10 +1,20 @@
-"""Benchmark regression gate (SURVEY.md §4 item 5, VERDICT r1 item 5).
+"""Benchmark regression gate (SURVEY.md §4 item 5, VERDICT r1 item 5, r4 weak 1).
 
 Compares two bench JSON artifacts (the one-line records written by bench.py /
-recorded by the driver as BENCH_r{N}.json) and exits non-zero when:
+recorded by the driver as BENCH_r{N}.json) and exits non-zero when a
+**tunnel-independent** metric regresses:
 
-  * compression ratio regresses by more than RATIO_TOL   (default 2%)
-  * any throughput metric regresses by more than TPUT_TOL (default 10%)
+  * any compression ratio grows by more than RATIO_TOL          (default 2%)
+  * any device-pipeline / host-pack throughput drops by more
+    than TPUT_TOL                                               (default 10%)
+
+End-to-end throughputs (`e2e_*`, `config*.{encode,decode,aggregate}_gbps`)
+are reported **informationally only**: in this sandbox the host<->device link
+is a network tunnel whose bandwidth swings 2-3x between rounds
+(BENCH_r03 d2h 51.5 MB/s -> BENCH_r04 23.3 MB/s), and those metrics measure
+the tunnel, not the codec — gating them made the r3->r4 gate exit 1 on pure
+link weather (VERDICT r4 "what's weak" 1). The io_tunnel context is printed
+next to every informational delta so a reader can attribute it.
 
 Usage:
     python tools/check_regression.py --previous BENCH_r01.json \
@@ -29,27 +39,39 @@ TPUT_TOL = 0.10    # throughput may drop at most 10% relative
 
 
 def normalize(rec: dict) -> dict:
-    """Flatten a bench record into {metric_name: (value, higher_is_better)}."""
-    out: dict[str, tuple[float, bool]] = {}
+    """Flatten a bench record into {name: (value, higher_is_better, gated)}.
+
+    gated=True marks tunnel-independent metrics (device-pipeline throughput,
+    compression ratios, host-pack rate) — the only ones that can fail the
+    gate. gated=False metrics are compared and printed but never fatal.
+    """
+    out: dict[str, tuple[float, bool, bool]] = {}
     detail = rec.get("detail", {})
 
-    def put(name, val, higher_better=True):
+    def put(name, val, higher_better=True, gated=True):
         if isinstance(val, (int, float)):
-            out[name] = (float(val), higher_better)
+            out[name] = (float(val), higher_better, gated)
 
-    # r2+ schema
-    put("e2e_encode_gbps", detail.get("e2e_encode_gbps"))
-    put("e2e_decode_gbps", detail.get("e2e_decode_gbps"))
-    put("e2e_aggregate_gbps", detail.get("e2e_aggregate_gbps"))
+    # e2e numbers ride the host<->device tunnel: informational only
+    put("e2e_encode_gbps", detail.get("e2e_encode_gbps"), gated=False)
+    put("e2e_decode_gbps", detail.get("e2e_decode_gbps"), gated=False)
+    put("e2e_aggregate_gbps", detail.get("e2e_aggregate_gbps"), gated=False)
     put("compression_ratio", detail.get("compression_ratio"), False)
     for cfg in ("config3_batch64", "config4_hires_24bit_96k", "config_32bit"):
         sub = detail.get(cfg, {})
-        put(f"{cfg}.aggregate_gbps", sub.get("aggregate_gbps"))
+        put(f"{cfg}.aggregate_gbps", sub.get("aggregate_gbps"), gated=False)
         put(f"{cfg}.compression_ratio", sub.get("compression_ratio"), False)
-    dp = detail.get("device_pipeline", {})
-    put("device.encode_gbps", dp.get("encode_gbps"))
-    put("device.decode_gbps", dp.get("decode_gbps"))
-    put("device.aggregate_gbps", dp.get("aggregate_gbps"))
+    # device-pipeline and host-side throughputs: tunnel-independent, gated
+    for key, prefix in (("device_pipeline", "device"),
+                        ("device_pipeline_24bit", "device24"),
+                        ("device_pipeline_32bit", "device32")):
+        dp = detail.get(key, {})
+        put(f"{prefix}.encode_gbps", dp.get("encode_gbps"))
+        put(f"{prefix}.decode_gbps", dp.get("decode_gbps"))
+        put(f"{prefix}.aggregate_gbps", dp.get("aggregate_gbps"))
+    hp = detail.get("host_pack", {})
+    put("host_pack.pack_mb_per_s", hp.get("pack_mb_per_s"))
+    put("host_pack.unpack_mb_per_s", hp.get("unpack_mb_per_s"))
 
     # r1 schema: device numbers lived at detail top level + headline value
     if "device pipeline" in str(rec.get("metric", "")):
@@ -60,29 +82,30 @@ def normalize(rec: dict) -> dict:
 
 
 def compare(prev: dict, cur: dict, ratio_tol: float = RATIO_TOL,
-            tput_tol: float = TPUT_TOL) -> list[str]:
-    """Returns a list of human-readable regression failures (empty = pass)."""
+            tput_tol: float = TPUT_TOL, notes: list | None = None) -> list[str]:
+    """Returns gate failures (empty = pass). Informational deltas (non-gated
+    metrics out of tolerance) are appended to `notes` when provided."""
     p, c = normalize(prev), normalize(cur)
     failures = []
     for name in sorted(set(p) & set(c)):
-        pv, higher_better = p[name]
-        cv, _ = c[name]
+        pv, higher_better, gated = p[name]
+        cv, _, _ = c[name]
         if pv <= 0:
             continue
         if higher_better:
             drop = (pv - cv) / pv
             if drop > tput_tol:
-                failures.append(
-                    f"{name}: {pv:.4f} -> {cv:.4f} (-{drop*100:.1f}% > "
-                    f"{tput_tol*100:.0f}% allowed)"
-                )
+                msg = (f"{name}: {pv:.4f} -> {cv:.4f} (-{drop*100:.1f}% > "
+                       f"{tput_tol*100:.0f}% allowed)")
+                (failures if gated else
+                 notes if notes is not None else failures[:0]).append(msg)
         else:
             growth = (cv - pv) / pv
             if growth > ratio_tol:
-                failures.append(
-                    f"{name}: {pv:.4f} -> {cv:.4f} (+{growth*100:.1f}% > "
-                    f"{ratio_tol*100:.0f}% allowed)"
-                )
+                msg = (f"{name}: {pv:.4f} -> {cv:.4f} (+{growth*100:.1f}% > "
+                       f"{ratio_tol*100:.0f}% allowed)")
+                (failures if gated else
+                 notes if notes is not None else failures[:0]).append(msg)
     return failures
 
 
@@ -113,15 +136,24 @@ def main(argv=None) -> int:
         cur_path = cur_path or found[-1]
 
     prev, cur = _load(prev_path), _load(cur_path)
-    failures = compare(prev, cur, args.ratio_tol, args.tput_tol)
+    notes: list[str] = []
+    failures = compare(prev, cur, args.ratio_tol, args.tput_tol, notes=notes)
     shared = sorted(set(normalize(prev)) & set(normalize(cur)))
     print(f"compared {prev_path} -> {cur_path}: {len(shared)} shared metrics",
           file=sys.stderr)
+    if notes:
+        tun_p = prev.get("detail", {}).get("io_tunnel", {})
+        tun_c = cur.get("detail", {}).get("io_tunnel", {})
+        print(f"INFO: tunnel-dependent deltas (not gated; io_tunnel "
+              f"{tun_p} -> {tun_c}):", file=sys.stderr)
+        for n in notes:
+            print(f"  INFO: {n}", file=sys.stderr)
     if failures:
         for f in failures:
             print(f"REGRESSION: {f}", file=sys.stderr)
         return 1
-    print("no regressions", file=sys.stderr)
+    print("no regressions in gated (tunnel-independent) metrics",
+          file=sys.stderr)
     return 0
 
 
