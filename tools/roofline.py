@@ -52,25 +52,27 @@ def vpu_microbench():
     * latency: the same chain on a single [8, 128] register — every op
       depends on the previous one, so the rate measures per-op latency,
       the regime a non-pipelined sequential recurrence lives in.
+
+    Through the axon tunnel every dispatch pays a ~30 ms round-trip floor
+    (measured: a first cut with one T per probe returned identical wall
+    times for 0.5 G and 8 M ops — pure dispatch latency). Each rate is
+    therefore taken from the SLOPE between two iteration counts of the same
+    kernel, which cancels the constant dispatch/fetch overhead exactly.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T = 4096
+    def make_probe(rows, T):
+        def chain_kernel(x_ref, o_ref):
+            a = jnp.int32(1103515245)
+            b = jnp.int32(12345)
 
-    def chain_kernel(x_ref, o_ref):
-        a = jnp.int32(1103515245)
-        b = jnp.int32(12345)
+            def step(i, y):
+                return y * a + b
 
-        def step(i, y):
-            return y * a + b
-
-        o_ref[:, :] = jax.lax.fori_loop(0, T, step, x_ref[:, :])
-
-    def run(rows):
-        x = np.arange(rows * 128, dtype=np.int32).reshape(rows, 128)
+            o_ref[:, :] = jax.lax.fori_loop(0, T, step, x_ref[:, :])
 
         @jax.jit
         def probe(xx):
@@ -82,21 +84,31 @@ def vpu_microbench():
             )(xx)
             return y.sum().astype(jnp.int32)
 
-        xd = jax.device_put(x)
-        int(np.asarray(probe(xd)))  # compile
-        t = _timed(probe, xd)
-        ops = 2.0 * T * rows * 128  # mul + add per element per iteration
-        return ops / t
+        return probe
 
-    tput = run(512)   # 64 independent (8,128) registers: issue-bound
-    lat = run(8)      # one register, fully dependent chain: latency-bound
+    def slope_rate(rows, t1, t2):
+        x = np.arange(rows * 128, dtype=np.int32).reshape(rows, 128)
+        xd = jax.device_put(x)
+        p1, p2 = make_probe(rows, t1), make_probe(rows, t2)
+        int(np.asarray(p1(xd)))  # compile
+        int(np.asarray(p2(xd)))
+        d1, d2 = _timed(p1, xd), _timed(p2, xd)
+        extra_ops = 2.0 * (t2 - t1) * rows * 128
+        dt = max(d2 - d1, 1e-9)
+        return extra_ops / dt, d1, d2
+
+    tput, a1, a2 = slope_rate(512, 1 << 16, 1 << 19)  # issue-bound
+    lat, b1, b2 = slope_rate(8, 1 << 20, 1 << 23)     # latency-bound
     return {
         "int32_tput_gops": round(tput / 1e9, 1),
         "int32_latency_chain_gops": round(lat / 1e9, 2),
         "issue_rate_ghz": round(tput / 2 / (8 * 128) / 1e9, 3),
-        "dependent_issue_rate_ghz": round(lat / 2 / (8 * 128) / 1e9, 3),
+        "dependent_issue_rate_ghz": round(lat / 2 / (8 * 128) / 1e9, 4),
+        "raw_seconds": [round(v, 4) for v in (a1, a2, b1, b2)],
         "note": "tput = independent mul+add on [512,128] int32; latency = "
-                "same chain on one [8,128] register (fully dependent)",
+                "same chain on one [8,128] register (fully dependent); both "
+                "slope-measured between two iteration counts to cancel the "
+                "~30 ms tunnel dispatch floor",
     }
 
 
@@ -118,11 +130,34 @@ def _iir_inputs(B, N, seed=0):
     return jax.device_put(e), jax.device_put(np.asarray(c))
 
 
+def _slope_time(probe, args, k1=2, k2=10):
+    """Per-dispatch seconds via the slope between k1- and k2-dispatch passes.
+
+    A pass async-dispatches the probe k times and ends in ONE stacked-sum
+    scalar fetch; (t_k2 - t_k1)/(k2 - k1) cancels the constant tunnel
+    dispatch/fetch round-trip (~30 ms) that a single-dispatch measurement
+    would count as kernel time.
+    """
+    import jax.numpy as jnp
+
+    def one_pass(k):
+        deps = [probe(*args) for _ in range(k)]
+        return int(np.asarray(jnp.stack(deps).sum()))
+
+    one_pass(1)  # warm
+    t1 = min((lambda s: (one_pass(k1), time.perf_counter() - s)[1])(
+        time.perf_counter()) for _ in range(REPEATS))
+    t2 = min((lambda s: (one_pass(k2), time.perf_counter() - s)[1])(
+        time.perf_counter()) for _ in range(REPEATS))
+    return max(t2 - t1, 1e-9) / (k2 - k1)
+
+
 def iir_sweep(B=8192, N=2048, lanes_list=(128, 256), unrolls=(1, 2, 4, 8)):
     """Time the fast IIR kernel across (lanes, unroll); return rows + winner.
 
     GB/s figures are PCM-16-bit-equivalent (2 bytes/sample), matching the
-    bench headline convention.
+    bench headline convention; per-dispatch time is slope-measured (see
+    _slope_time) so the tunnel round-trip does not pollute the comparison.
     """
     import jax
     import jax.numpy as jnp
@@ -140,10 +175,19 @@ def iir_sweep(B=8192, N=2048, lanes_list=(128, 256), unrolls=(1, 2, 4, 8)):
                                           unroll=unroll)
                 return y.sum().astype(jnp.int32)
 
-            t0 = time.perf_counter()
-            int(np.asarray(probe(e, c)))
-            compile_s = time.perf_counter() - t0
-            t = _timed(probe, e, c)
+            try:
+                t0 = time.perf_counter()
+                int(np.asarray(probe(e, c)))
+                compile_s = time.perf_counter() - t0
+                t = _slope_time(probe, (e, c))
+            except Exception as exc:  # e.g. Mosaic dynamic-sublane-start
+                # alignment: [32, 256] window loads need a provably 8-aligned
+                # dim-0 start, which the per-step n+j offsets are not
+                rows.append({"lanes": lanes, "unroll": unroll,
+                             "error": str(exc).splitlines()[0][:160]})
+                print(f"[sweep] iir lanes={lanes} unroll={unroll}: "
+                      f"FAILED ({rows[-1]['error'][:60]})", file=sys.stderr)
+                continue
             rows.append({
                 "lanes": lanes, "unroll": unroll, "ms": round(t * 1e3, 2),
                 "pcm16_gbps": round(pcm / t / 1e9, 3),
@@ -151,7 +195,8 @@ def iir_sweep(B=8192, N=2048, lanes_list=(128, 256), unrolls=(1, 2, 4, 8)):
             })
             print(f"[sweep] iir lanes={lanes} unroll={unroll}: "
                   f"{t*1e3:.2f} ms = {pcm/t/1e9:.3f} GB/s-eq", file=sys.stderr)
-    best = max(rows, key=lambda r: r["pcm16_gbps"])
+    best = max((r for r in rows if "pcm16_gbps" in r),
+               key=lambda r: r["pcm16_gbps"])
     return {"rows": rows, "best": best, "B": B, "N": N}
 
 
@@ -169,7 +214,7 @@ def iir_generic_time(B=8192, N=2048):
         return iir_synthesize_pallas(ee, cc, fast=False).sum().astype(jnp.int32)
 
     int(np.asarray(probe(e, c)))
-    t = _timed(probe, e, c)
+    t = _slope_time(probe, (e, c))
     return {"ms": round(t * 1e3, 2), "pcm16_gbps": round(pcm / t / 1e9, 3)}
 
 
@@ -208,7 +253,7 @@ def encode_kernels_time(F=4096):
         return (e.sum() + eo.sum() + counts.sum()).astype(jnp.int32)
 
     int(np.asarray(p_fir(xb, c, order, nv)))
-    t = _timed(p_fir, xb, c, order, nv)
+    t = _slope_time(p_fir, (xb, c, order, nv))
     out["fir_rice"] = {"ms": round(t * 1e3, 2),
                        "pcm16_gbps": round(pcm / t / 1e9, 3)}
 
@@ -218,7 +263,7 @@ def encode_kernels_time(F=4096):
         return (o.sum() + qq.sum() + cost.sum()).astype(jnp.int32)
 
     int(np.asarray(p_an(xb, nv)))
-    t = _timed(p_an, xb, nv)
+    t = _slope_time(p_an, (xb, nv))
     out["analyze"] = {"ms": round(t * 1e3, 2),
                       "pcm16_gbps": round(pcm / t / 1e9, 3)}
     return out
@@ -252,6 +297,15 @@ def analytic_model(vpu):
             latency_bound / 1e9, 2),
         "iir_fast_hbm_bound_pcm16_gbps": round(819 / 8 * 2, 0),
         "note": analytic_model.__doc__.strip().splitlines()[0],
+        "calibration": (
+            "measured r5: the unroll=4 kernel sustains ~3x this issue bound "
+            "(10.1 GB/s-eq), i.e. Mosaic retires multiple modeled "
+            "register-ops per cycle (fused mul+add, cheaper tree reduces); "
+            "treat the issue bound as a floor, the HBM bound as the ceiling, "
+            "and the unroll sweep as the operative speed-of-light evidence: "
+            "unroll=1 (serial chain) -> unroll=4 gained 1.52x, unroll=8 "
+            "regressed, so remaining latency slack at U=4 is <~25%"
+        ),
     }
 
 
