@@ -36,6 +36,18 @@ RESIDUE_PARTS = 4
 
 COEFF_BIT_COST = 7         # approx bits/coefficient used by order selection
 
+# Order-selection quantization-noise penalty (r5, non-normative encoder
+# tuning): the float Levinson err_m is the residual variance with UNQUANTIZED
+# coefficients, so it keeps falling with order while the real residual —
+# filtered with 7-bit-companded reflections — stops improving; the unpenalized
+# model overshot the true optimum order by ~6 on the pinned corpus, costing
+# 5.6% stream size (RATIO_SWEEP.json). Each quantized tap contributes noise
+# on the order of (quantizer step)^2 * r0 = 2^-12 * r0, so order selection
+# minimizes N/2*log2(err_m + m * ORDER_QNOISE_PENALTY * r0) + 7m. Measured:
+# captures 92% of the exact-search gain at zero render cost, never loses on
+# held-out content (chords +5.1%, tone +13.9%, ar/noise/impulse +-0.0%).
+ORDER_QNOISE_PENALTY = 2.0 ** -12
+
 # Subframe types
 SF_DIRECT = 0
 SF_MID = 1

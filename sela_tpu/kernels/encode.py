@@ -231,7 +231,8 @@ def _make_levinson_kernel(max_order: int):
     float analysis is non-normative (FORMAT.md "Design invariant") so ulp
     differences from XLA's fusion choices are acceptable by design.
     """
-    from ..format import COEFF_BIT_COST, Q_CLAMP_HI, Q_CLAMP_LO
+    from ..format import (COEFF_BIT_COST, ORDER_QNOISE_PENALTY,
+                          Q_CLAMP_HI, Q_CLAMP_LO)
 
     P_ = MAX_ORDER
 
@@ -267,13 +268,18 @@ def _make_levinson_kernel(max_order: int):
         err = [jnp.where(valid, r0, 1.0)] + [
             jnp.where(valid, ee, 1.0) for ee in es
         ]
-        # order select: cost(m) = N/2*log2(max(err_m, 1e-9)) + C*m, ties low
+        # order select: cost(m) = N/2*log2(max(err_m + m*LAM*r0, 1e-9)) + C*m,
+        # ties low; the m*LAM*r0 term models 7-bit coefficient-quantization
+        # noise (format.ORDER_QNOISE_PENALTY) — same formula as the jnp and
+        # oracle paths
         nf = nv_ref[:, :].astype(jnp.float32)
+        lam = jnp.float32(ORDER_QNOISE_PENALTY)
         best_c = 0.5 * nf * (jnp.log(jnp.maximum(err[0], 1e-9))
                              * jnp.float32(1.4426950408889634))
         best_m = jnp.zeros((1, L), jnp.int32)
         for m in range(1, max_order + 1):
-            c = (0.5 * nf * (jnp.log(jnp.maximum(err[m], 1e-9))
+            adj = err[m] + (lam * jnp.float32(m)) * err[0]
+            c = (0.5 * nf * (jnp.log(jnp.maximum(adj, 1e-9))
                              * jnp.float32(1.4426950408889634))
                  + jnp.float32(COEFF_BIT_COST * m))
             better = c < best_c

@@ -14,7 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..format import COEFF_BIT_COST, MAX_ORDER, Q_CLAMP_HI, Q_CLAMP_LO
+from ..format import (COEFF_BIT_COST, MAX_ORDER, ORDER_QNOISE_PENALTY,
+                      Q_CLAMP_HI, Q_CLAMP_LO)
 
 
 def autocorr(x: jax.Array, max_lag: int = MAX_ORDER) -> jax.Array:
@@ -83,7 +84,8 @@ def select_order(err: jax.Array, n_valid: jax.Array,
 
 
 def select_order_and_cost(err: jax.Array, n_valid: jax.Array,
-                          max_order: int = MAX_ORDER):
+                          max_order: int = MAX_ORDER,
+                          coeff_bit_cost: float = COEFF_BIT_COST):
     """(order [B] int32, min-cost [B] float32).
 
     The min cost is the modeled stream size N/2*log2(err_m*) + header cost —
@@ -96,7 +98,10 @@ def select_order_and_cost(err: jax.Array, n_valid: jax.Array,
     tiny = 1e-9
     m = jnp.arange(err.shape[1], dtype=jnp.float32)[None, :]
     nf = n_valid.astype(jnp.float32)[:, None]
-    cost = 0.5 * nf * jnp.log2(jnp.maximum(err, tiny)) + COEFF_BIT_COST * m
+    # + m*LAM*r0: quantization noise of m 7-bit-companded taps, which the
+    # float err ignores (format.ORDER_QNOISE_PENALTY; RATIO_SWEEP.json)
+    adj = err + jnp.float32(ORDER_QNOISE_PENALTY) * m * err[:, :1]
+    cost = 0.5 * nf * jnp.log2(jnp.maximum(adj, tiny)) + coeff_bit_cost * m
     cost = jnp.where(m > max_order, jnp.inf, cost)
     order = jnp.argmin(cost, axis=-1).astype(jnp.int32)
     return order, jnp.min(cost, axis=-1)
@@ -115,7 +120,8 @@ def quantize_reflection(gamma: jax.Array) -> jax.Array:
 
 
 def analyze(x: jax.Array, n_valid: jax.Array, max_order: int = MAX_ORDER,
-            autocorr_impl=None, return_cost: bool = False):
+            autocorr_impl=None, return_cost: bool = False,
+            coeff_bit_cost: float = COEFF_BIT_COST):
     """Full analysis: [B, N] int32, [B] counts -> (order [B], qcoeffs [B, MAX_ORDER]).
 
     autocorr_impl: override for the autocorrelation (the Pallas kernel on
@@ -125,7 +131,8 @@ def analyze(x: jax.Array, n_valid: jax.Array, max_order: int = MAX_ORDER,
     """
     r = (autocorr_impl or autocorr)(x)
     gamma, err = levinson(r)
-    order, cost = select_order_and_cost(err, n_valid, max_order)
+    order, cost = select_order_and_cost(err, n_valid, max_order,
+                                        coeff_bit_cost)
     q = quantize_reflection(gamma)
     # zero out coefficients beyond the chosen order
     q = jnp.where(jnp.arange(q.shape[1])[None, :] < order[:, None], q, 0)

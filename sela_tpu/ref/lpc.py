@@ -17,6 +17,7 @@ import numpy as np
 from ..format import (
     COEFF_BIT_COST,
     MAX_ORDER,
+    ORDER_QNOISE_PENALTY,
     Q_CLAMP_HI,
     Q_CLAMP_LO,
     REF_Q,
@@ -61,10 +62,17 @@ def levinson_reflection(r: np.ndarray, order: int = MAX_ORDER):
 
 
 def select_order(err: np.ndarray, n_samples: int) -> int:
-    """argmin over m of N/2 * log2(err_m) + COEFF_BIT_COST * m."""
+    """argmin over m of N/2 * log2(err_m + m*LAM*r0) + COEFF_BIT_COST * m.
+
+    The m*LAM*r0 term models the residual noise added by 7-bit coefficient
+    quantization (LAM = quantizer step^2 = 2^-12), which the float Levinson
+    err ignores — without it the model overshoots the true optimal order by
+    ~6 on musical content (format.ORDER_QNOISE_PENALTY, RATIO_SWEEP.json).
+    """
     tiny = 1e-9
     m = np.arange(len(err))
-    cost = 0.5 * n_samples * np.log2(np.maximum(err, tiny)) + COEFF_BIT_COST * m
+    adj = err + ORDER_QNOISE_PENALTY * m * err[0]
+    cost = 0.5 * n_samples * np.log2(np.maximum(adj, tiny)) + COEFF_BIT_COST * m
     return int(np.argmin(cost))
 
 

@@ -30,7 +30,7 @@ python tools/check_regression.py || {
 
 if [ "${1:-}" = "--scaling" ]; then
   echo "== [3/3] scaling efficiency (>=0.80) =="
-  python tools/measure_scaling.py --seconds 24 --ranks 2
+  python tools/measure_scaling.py --seconds 24 --ranks 2,4
 else
   echo "== [3/3] scaling efficiency — skipped (pass --scaling to run) =="
 fi
