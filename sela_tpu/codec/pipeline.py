@@ -390,25 +390,34 @@ def decode_step(residues: jax.Array, qcoeffs: jax.Array, order: jax.Array,
     import os
 
     residues = residues.astype(jnp.int32)
+    # CHANNEL-MAJOR row layout for the IIR batch (r5b): rows grouped by
+    # channel rather than by frame. Per-row math is order-independent of
+    # layout (bit-identical), but the fast IIR kernel's tier dispatch works
+    # per 128-lane tile — and real stereo is strongly per-channel bimodal
+    # (tonal mid channels sit at order ~1-3, side channels ~27 under the r5
+    # order model), so channel-grouped tiles let ~half the tiles take the
+    # 8/16-tap bodies instead of being dragged to 32 taps by one high row.
+    q_cm = jnp.swapaxes(qcoeffs, 0, 1).reshape(B, -1)
+    o_cm = jnp.swapaxes(order, 0, 1).reshape(B)
     if iir == "scan" or os.environ.get("SELA_NO_LPC_KERNEL"):
         # pure-jnp normative reference path (the env toggle is a perf
         # diagnostic — all paths are bit-identical on valid streams)
-        g = coeffs.dequantize_reflection(qcoeffs.reshape(B, -1))
-        c = coeffs.reflection_to_lpc(g, order.reshape(B))
+        g = coeffs.dequantize_reflection(q_cm)
+        c = coeffs.reflection_to_lpc(g, o_cm)
     else:
         # Pallas fast paths: lane-parallel dequantize+integer-Levinson
         # (bit-identical for every valid stream — kernels/coeffs.py)
         from ..kernels.coeffs import lpc_from_q_pallas
 
-        c = lpc_from_q_pallas(qcoeffs.reshape(B, -1), order.reshape(B))
-    e2 = residues.reshape(B, S)
+        c = lpc_from_q_pallas(q_cm, o_cm)
+    e2 = jnp.swapaxes(residues, 0, 1).reshape(B, S)
     if iir == "pallas":
         x = iir_synthesize_pallas(e2, c, fast=True)
     elif iir == "pallas_generic":
         x = iir_synthesize_pallas(e2, c, fast=False)
     else:
         x = filters.iir_synthesize(e2, c)
-    x = x.reshape(F, C, S)
+    x = jnp.swapaxes(x.reshape(C, F, S), 0, 1)
     for p in range(C // 2):
         li, ri = 2 * p, 2 * p + 1
         is_ms = (sftype[:, li] == SF_MID)[:, None]

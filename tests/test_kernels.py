@@ -105,6 +105,31 @@ def test_iir_pallas_unroll_variants_match(rng, signal_factory):
         got, np.asarray(_iir_ref(e[:, :250], c2)))
 
 
+def test_iir_tier_dispatch_bit_exact(rng):
+    """The 8/16/32-tap tier bodies (selected per tile from the max effective
+    order — kernels/iir.py r5b) are bit-identical to the scan path across
+    every tier boundary, including order 0 and zero-tail coefficients."""
+    B, N = 12, 256
+    orders = np.array([0, 1, 8, 9, 16, 17, 32, 2, 30, 8, 16, 5], np.int32)
+    q = rng.integers(-64, 64, (B, MAX_ORDER)).astype(np.int32)
+    q[np.arange(MAX_ORDER)[None, :] >= orders[:, None]] = 0
+    c = _refl2lpc(_dequant(jnp.asarray(q)), jnp.asarray(orders))
+    # in-domain inputs: residues from the FIR of a bounded signal (the fast
+    # kernel's limb identities require |x| < 2^26; arbitrary residues under
+    # an unstable random order-32 filter can wrap, which is out of contract)
+    x = rng.integers(-(1 << 24), 1 << 24, (B, N)).astype(np.int32)
+    e, eff = _fir(jnp.asarray(x), c, jnp.asarray(orders),
+                  jnp.asarray(np.full(B, N, np.int32)))
+    q_eff = np.where(
+        np.arange(MAX_ORDER)[None, :] < np.asarray(eff)[:, None], q, 0)
+    c2 = _refl2lpc(_dequant(jnp.asarray(q_eff)), eff)
+    want = np.asarray(_iir_ref(e, c2))
+    for unroll in (1, 2, 4):
+        got = np.asarray(iir_synthesize_pallas(
+            e, c2, interpret=True, fast=True, lanes=128, unroll=unroll))
+        np.testing.assert_array_equal(got, want, err_msg=f"unroll={unroll}")
+
+
 def test_decode_step_pallas_impls_match(rng, signal_factory):
     """decode_step(iir=...) variants agree through the full frame pipeline."""
     import jax

@@ -29,8 +29,12 @@ xla_bridge._backend_factories.pop("axon", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# host-scoped persistent cache (NOT the bare .jax_cache root: /root/repo is
+# shared between machines and XLA:CPU entries embed native AOT code — see
+# utils.platform.host_fingerprint for the observed failure modes)
+from sela_tpu.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 def _flag(name: str, default=None):
