@@ -267,15 +267,20 @@ def encode_step(x: jax.Array, n_valid: jax.Array, allow_ms: bool = True,
                 qsel.append(q_a[:, c])
                 sft_cols.append(jnp.zeros(F, jnp.int32))
         sftype = jnp.stack(sft_cols, axis=1)
-        xw = jnp.stack(xs, axis=1).reshape(F * C, S)
-        ow = jnp.stack(osel, axis=1).reshape(F * C)
-        qw = jnp.stack(qsel, axis=1).reshape(F * C, -1)
-        nvw = jnp.repeat(n_valid, C).astype(jnp.int32)
+        # CHANNEL-MAJOR winner rows (r5b, mirrors decode_step): mid rows run
+        # order ~1-3 and side rows ~24-30 under the r5 order model, so
+        # channel-grouped render tiles are order-homogeneous and the FIR
+        # kernel's taps-tier dispatch can skip 3/4 of the tap work on the
+        # low tiles. Pure row permutation — planning bytes are unchanged.
+        xw = jnp.stack(xs, axis=0).reshape(C * F, S)
+        ow = jnp.stack(osel, axis=0).reshape(C * F)
+        qw = jnp.stack(qsel, axis=0).reshape(C * F, -1)
+        nvw = jnp.tile(n_valid, C).astype(jnp.int32)
         r = _render_rows(xw, qw, ow, nvw, rice_k_max, fused,
                          limb_ok=allow_ms, partition=partition)
 
         def out2(a):
-            return a.reshape(F, C, *a.shape[1:])
+            return jnp.swapaxes(a.reshape(C, F, *a.shape[1:]), 0, 1)
 
         res = out2(r["e"])
         eff_order, q_eff = out2(r["eff_order"]), out2(r["q_eff"])

@@ -42,7 +42,8 @@ VMEM_LIMIT = 100 * 1024 * 1024
 KSUMS = 32  # k = 0..30 used; padded to 32 columns
 
 
-def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, pc_ref):
+def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, pc_ref,
+                     shh_s, shl_s, slh_s, sll_s):
     """One [R, S] tile.
 
     x_ref: [R, S] int32 samples (zero-padded rows); c_ref: [R, P] int32 Q20
@@ -53,29 +54,64 @@ def _fir_rice_kernel(x_ref, c_ref, nv_ref, e_ref, ok_ref, pc_ref):
     sum(u >> k) is recovered exactly outside the kernel via the recurrence
     S(k) = 2*S(k+1) + pc[:, k] (ops.rice), so the kernel does 32 int32
     reductions instead of the previous 31 x 2 emulated-64-bit masked sums.
+
+    Taps-tier dispatch (r5b, mirrors kernels/iir.py): coefficients beyond a
+    row's effective order are zero, so when every row in the tile has its
+    highest nonzero coefficient within the first 8 taps, the 24 remaining
+    tap iterations multiply zeros — skipped via pl.when, bit-identical.
+    encode_step lays winner rows out channel-major, so tiles are
+    order-homogeneous on real stereo (mid rows ~1-3, side rows ~24-30
+    under the r5 order model) and ~half of them take the short body. Two
+    tiers only (8 / full): the tap loop is the kernel's trace-heaviest
+    part and each extra tier re-traces it. Partial sums land in VMEM
+    scratch so the guard/zigzag/popcount epilogue is shared.
     """
     R, S = x_ref.shape
     x = x_ref[:, :]
     xh = jax.lax.shift_right_arithmetic(x, 13)
     xl = x & 0x1FFF
-    ch = jax.lax.shift_right_arithmetic(c_ref[:, :], 12)  # [R, P]
-    cl = c_ref[:, :] & 0xFFF
+    cfull = c_ref[:, :]
+    ch = jax.lax.shift_right_arithmetic(cfull, 12)  # [R, P]
+    cl = cfull & 0xFFF
+    taps_row = jnp.max(
+        jnp.where(cfull != 0,
+                  jax.lax.broadcasted_iota(jnp.int32, (R, P), 1) + 1, 0),
+        axis=1,
+    )
+    tile_taps = jnp.max(taps_row)
 
     zcol = jnp.zeros((R, S), jnp.int32)
-    s_hh = zcol
-    s_hl = zcol
-    s_lh = zcol
-    s_ll = zcol
-    for j in range(1, P + 1):
-        # value at position n is x[n-j]; zeros for n < j
-        xh_s = jnp.concatenate([zcol[:, :j], xh[:, : S - j]], axis=1)
-        xl_s = jnp.concatenate([zcol[:, :j], xl[:, : S - j]], axis=1)
-        chj = ch[:, j - 1 : j]
-        clj = cl[:, j - 1 : j]
-        s_hh = s_hh + chj * xh_s
-        s_hl = s_hl + chj * xl_s
-        s_lh = s_lh + clj * xh_s
-        s_ll = s_ll + clj * xl_s
+
+    def accumulate(taps: int):
+        s_hh = zcol
+        s_hl = zcol
+        s_lh = zcol
+        s_ll = zcol
+        for j in range(1, taps + 1):
+            # value at position n is x[n-j]; zeros for n < j
+            xh_s = jnp.concatenate([zcol[:, :j], xh[:, : S - j]], axis=1)
+            xl_s = jnp.concatenate([zcol[:, :j], xl[:, : S - j]], axis=1)
+            chj = ch[:, j - 1 : j]
+            clj = cl[:, j - 1 : j]
+            s_hh = s_hh + chj * xh_s
+            s_hl = s_hl + chj * xl_s
+            s_lh = s_lh + clj * xh_s
+            s_ll = s_ll + clj * xl_s
+        shh_s[:, :] = s_hh
+        shl_s[:, :] = s_hl
+        slh_s[:, :] = s_lh
+        sll_s[:, :] = s_ll
+
+    @pl.when(tile_taps <= 8)
+    def _():
+        accumulate(8)
+
+    @pl.when(tile_taps > 8)
+    def _():
+        accumulate(P)
+
+    s_hh, s_hl = shh_s[:, :], shl_s[:, :]
+    s_lh, s_ll = slh_s[:, :], sll_s[:, :]
 
     acc = i64.add(
         i64.add(i64.shl(i64.from_i32(s_hh), 25), i64.shl(i64.from_i32(s_hl), 12)),
@@ -158,6 +194,12 @@ def _fir_rice_tiles(x, c, nv2, interpret: bool):
             pl.BlockSpec((ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, KSUMS), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, S), jnp.int32),
+            pltpu.VMEM((ROWS, S), jnp.int32),
+            pltpu.VMEM((ROWS, S), jnp.int32),
+            pltpu.VMEM((ROWS, S), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(x, c, nv2)

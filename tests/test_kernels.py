@@ -130,6 +130,36 @@ def test_iir_tier_dispatch_bit_exact(rng):
         np.testing.assert_array_equal(got, want, err_msg=f"unroll={unroll}")
 
 
+def test_fir_rice_taps_tier_bit_exact(rng):
+    """The FIR kernel's 8/full taps-tier dispatch (kernels/encode.py r5b)
+    is bit-identical to the jnp path for tiles mixing orders across the
+    tier boundary, including order 0, tails and short rows."""
+    import jax
+
+    from sela_tpu.kernels.encode import fir_rice_pallas
+    from sela_tpu.ops import rice as ops_rice
+
+    B, S = 8, 512
+    orders = np.array([0, 1, 8, 9, 32, 3, 17, 8], np.int32)
+    q = rng.integers(-64, 64, (B, MAX_ORDER)).astype(np.int32)
+    q[np.arange(MAX_ORDER)[None, :] >= orders[:, None]] = 0
+    c = _refl2lpc(_dequant(jnp.asarray(q)), jnp.asarray(orders))
+    x = rng.integers(-(1 << 17), 1 << 17, (B, S)).astype(np.int32)
+    nv = np.full(B, S, np.int32)
+    nv[2] = 100
+    x[2, 100:] = 0
+    e_want, eff_want = jax.jit(ops_filters.fir_residues_fast)(
+        jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(nv))
+    k_want, _, _ = jax.jit(ops_rice.plan_blocks)(e_want, jnp.asarray(nv))
+    e_got, eff_got, counts = fir_rice_pallas(
+        jnp.asarray(x), c, jnp.asarray(orders), jnp.asarray(nv),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(e_got), np.asarray(e_want))
+    np.testing.assert_array_equal(np.asarray(eff_got), np.asarray(eff_want))
+    k_got, _ = ops_rice.k_and_bits_from_counts(counts, jnp.asarray(nv))
+    np.testing.assert_array_equal(np.asarray(k_got), np.asarray(k_want))
+
+
 def test_decode_step_pallas_impls_match(rng, signal_factory):
     """decode_step(iir=...) variants agree through the full frame pipeline."""
     import jax
