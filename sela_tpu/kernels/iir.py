@@ -114,18 +114,23 @@ def _make_iir_kernel_fast(unroll: int):
     result stays bit-exact while U independent multiply/reduce chains
     overlap. Requires n_samples % U == 0 (the wrapper guarantees it).
 
-    Tier dispatch (r5b): coefficients beyond a row's order are zero, so a
-    tile whose max order is T needs only the last T taps of every window —
-    the other products are multiplies by zero. Real streams are strongly
-    tile-homogeneous once decode_step lays rows out channel-major (the r5
-    order model drives mid channels of tonal stereo to order ~1-3 while
-    side channels sit at ~27), so the kernel reads the tile's max order and
-    branches between 8/16/32-tap loop bodies via pl.when — bit-identical by
-    the zero-tap argument, ~1.7x fewer issues for the low tiers.
+    Negative result, kept for the record (r5b): a per-tile 8/16/32-tap tier
+    dispatch (as kernels/encode.py's FIR now does) was built, proven
+    bit-exact, measured on-chip — and removed: all-order-2, all-order-12 and
+    all-order-30 batches run at the SAME 3.8-4.0 ms for [8192, 2048]. At
+    U = 4 this kernel sits on its serial dependency chain, not on issue
+    throughput: per sample the unavoidable chain is x_n -> limb split ->
+    correction multiply-add into the next step's partial sums -> the 10-op
+    rounding epilogue -> x_{n+1}, ~12 dependent ops; at the chip's measured
+    2.6 ns dependent-op latency (ROOFLINE.json vpu.dependent rate) that is
+    ~31 ns/sample, and the kernel measures 29 ns/sample — i.e. >=95% of the
+    recurrence speed-of-light. Tap-count work is absorbed in the latency
+    shadow, so shrinking it buys nothing here (unlike the FIR, which has no
+    serial chain and gained 2.6x from the same tiers).
     """
     U = unroll
 
-    def kernel(et_ref, crev_ref, ord_ref, out_ref, hist_l, hist_h):
+    def kernel(et_ref, crev_ref, out_ref, hist_l, hist_h):
         n_samples = et_ref.shape[0]
         L = et_ref.shape[1]
         zeros_all = jnp.zeros((P + n_samples, L), jnp.int32)
@@ -138,70 +143,51 @@ def _make_iir_kernel_fast(unroll: int):
         # step's window applies to a sample resolved d steps earlier)
         ch_t = [ch[P - d : P - d + 1, :] for d in range(1, U)]
         cl_t = [cl[P - d : P - d + 1, :] for d in range(1, U)]
-        tile_order = jnp.max(ord_ref[:, :])
 
-        def run(taps: int):
-            chT = ch[P - taps :, :] if taps < P else ch
-            clT = cl[P - taps :, :] if taps < P else cl
+        def step(i, _):
+            n = i * U
+            # read all U windows BEFORE any write of this iteration
+            s = []
+            for j in range(U):
+                wl = hist_l[pl.ds(n + j, P), :]        # xl of window j
+                wh = hist_h[pl.ds(n + j, P), :]        # xh
+                s.append([
+                    jnp.sum(ch * wh, axis=0, keepdims=True),
+                    jnp.sum(ch * wl, axis=0, keepdims=True),
+                    jnp.sum(cl * wh, axis=0, keepdims=True),
+                    jnp.sum(cl * wl, axis=0, keepdims=True),
+                ])
+            for j in range(U):
+                s_hh, s_hl, s_lh, s_ll = s[j]
+                u = s_ll + jnp.int32(1 << 19)
+                v = s_lh + (u >> 13)
+                c2 = ((v & 0x7F) << 13) | (u & 0x1FFF)
+                pred = (s_hh << 5) + jax.lax.shift_right_arithmetic(v, 7) + (
+                    jax.lax.shift_right_arithmetic(s_hl + (c2 >> 12), 8)
+                )
+                x_n = et_ref[pl.ds(n + j, 1), :] + pred
+                xl = x_n & 0x1FFF
+                xh = jax.lax.shift_right_arithmetic(x_n, 13)
+                hist_l[pl.ds(n + j + P, 1), :] = xl
+                hist_h[pl.ds(n + j + P, 1), :] = xh
+                out_ref[pl.ds(n + j, 1), :] = x_n
+                for d in range(1, U - j):
+                    t = s[j + d]
+                    t[0] = t[0] + ch_t[d - 1] * xh
+                    t[1] = t[1] + ch_t[d - 1] * xl
+                    t[2] = t[2] + cl_t[d - 1] * xh
+                    t[3] = t[3] + cl_t[d - 1] * xl
+            return 0
 
-            def step(i, _):
-                n = i * U
-                # read all U windows BEFORE any write of this iteration;
-                # window of step n+j with T taps = x[n+j-T .. n+j-1]
-                # = hist rows [n+j+P-T, n+j+P)
-                s = []
-                for j in range(U):
-                    wl = hist_l[pl.ds(n + j + P - taps, taps), :]
-                    wh = hist_h[pl.ds(n + j + P - taps, taps), :]
-                    s.append([
-                        jnp.sum(chT * wh, axis=0, keepdims=True),
-                        jnp.sum(chT * wl, axis=0, keepdims=True),
-                        jnp.sum(clT * wh, axis=0, keepdims=True),
-                        jnp.sum(clT * wl, axis=0, keepdims=True),
-                    ])
-                for j in range(U):
-                    s_hh, s_hl, s_lh, s_ll = s[j]
-                    u = s_ll + jnp.int32(1 << 19)
-                    v = s_lh + (u >> 13)
-                    c2 = ((v & 0x7F) << 13) | (u & 0x1FFF)
-                    pred = (s_hh << 5) + jax.lax.shift_right_arithmetic(v, 7) + (
-                        jax.lax.shift_right_arithmetic(s_hl + (c2 >> 12), 8)
-                    )
-                    x_n = et_ref[pl.ds(n + j, 1), :] + pred
-                    xl = x_n & 0x1FFF
-                    xh = jax.lax.shift_right_arithmetic(x_n, 13)
-                    hist_l[pl.ds(n + j + P, 1), :] = xl
-                    hist_h[pl.ds(n + j + P, 1), :] = xh
-                    out_ref[pl.ds(n + j, 1), :] = x_n
-                    for d in range(1, U - j):
-                        t = s[j + d]
-                        t[0] = t[0] + ch_t[d - 1] * xh
-                        t[1] = t[1] + ch_t[d - 1] * xl
-                        t[2] = t[2] + cl_t[d - 1] * xh
-                        t[3] = t[3] + cl_t[d - 1] * xl
-                return 0
-
-            jax.lax.fori_loop(0, n_samples // U, step, 0)
-
-        @pl.when(tile_order <= 8)
-        def _():
-            run(8)
-
-        @pl.when((tile_order > 8) & (tile_order <= 16))
-        def _():
-            run(16)
-
-        @pl.when(tile_order > 16)
-        def _():
-            run(P)
+        jax.lax.fori_loop(0, n_samples // U, step, 0)
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "lanes", "unroll"))
-def _iir_tiles_fast(et: jax.Array, crev: jax.Array, ordt: jax.Array,
-                    interpret: bool, lanes: int = 0, unroll: int = 0):
+def _iir_tiles_fast(et: jax.Array, crev: jax.Array, interpret: bool,
+                    lanes: int = 0, unroll: int = 0):
     N, Bp = et.shape
     lanes = lanes or LANES_FAST
     unroll = unroll or UNROLL_FAST
@@ -215,7 +201,6 @@ def _iir_tiles_fast(et: jax.Array, crev: jax.Array, ordt: jax.Array,
         in_specs=[
             pl.BlockSpec((N, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((N, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -224,7 +209,7 @@ def _iir_tiles_fast(et: jax.Array, crev: jax.Array, ordt: jax.Array,
             pltpu.VMEM((P + N, lanes), jnp.int32),
         ],
         interpret=interpret,
-    )(et, crev, ordt)
+    )(et, crev)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -270,14 +255,7 @@ def iir_synthesize_pallas(e: jax.Array, coeffs: jax.Array,
     et = e.T                                   # [N, Bp] time-major
     crev = coeffs[:, ::-1].T                   # [P, Bp]
     if fast:
-        # per-row effective taps = highest nonzero coefficient index + 1
-        # (coeffs are zero beyond order by construction); the kernel's tier
-        # dispatch runs each 128-lane tile with the smallest 8/16/32-tap
-        # body that covers its max — bit-identical, zero taps contribute 0
-        cols = jnp.arange(1, coeffs.shape[1] + 1, dtype=jnp.int32)[None, :]
-        taps = jnp.max(jnp.where(coeffs != 0, cols, 0), axis=1)
-        xt = _iir_tiles_fast(et, crev, taps[None, :], interpret, lanes,
-                             unroll)
+        xt = _iir_tiles_fast(et, crev, interpret, lanes, unroll)
     else:
         xt = _iir_tiles(et, crev, interpret)
     x = xt.T

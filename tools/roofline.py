@@ -200,52 +200,6 @@ def iir_sweep(B=8192, N=2048, lanes_list=(128, 256), unrolls=(1, 2, 4, 8)):
     return {"rows": rows, "best": best, "B": B, "N": N}
 
 
-def iir_tier_time(B=8192, N=2048):
-    """Tier-dispatch gain: bimodal (channel-major-realistic) vs uniform-high
-    orders through the SAME kernel. The r5 order model drives mid channels
-    of tonal stereo to order ~1-3 and side channels to ~24-30; decode_step's
-    channel-major layout makes tiles order-homogeneous so ~half take the
-    8/16-tap bodies (measured +9% on the bimodal mix — the epilogue/
-    correction latency chain doesn't shrink with taps, so the win is
-    smaller than the tap ratio)."""
-    import jax
-    import jax.numpy as jnp
-
-    from sela_tpu.kernels.iir import iir_synthesize_pallas
-    from sela_tpu.ops import coeffs as C
-
-    rng = np.random.default_rng(0)
-    pcm = B * N * 2
-    e = rng.integers(-3000, 3000, (B, N)).astype(np.int32)
-    ed = jax.device_put(e)
-    out = {}
-    for label, orders in (
-        ("bimodal", np.concatenate([rng.integers(1, 4, B // 2),
-                                    rng.integers(24, 31, B // 2)])),
-        ("uniform_high", rng.integers(24, 31, B)),
-    ):
-        orders = orders.astype(np.int32)
-        q = rng.integers(-40, 40, (B, 32)).astype(np.int32)
-        q[np.arange(32)[None, :] >= orders[:, None]] = 0
-        q[np.arange(32)[None, :] == orders[:, None] - 1] += 1
-        c = np.asarray(jax.jit(lambda q, o: C.reflection_to_lpc(
-            C.dequantize_reflection(q), o))(jnp.asarray(q),
-                                            jnp.asarray(orders)))
-        cd = jax.device_put(c)
-
-        @jax.jit
-        def probe(ee, cc):
-            return iir_synthesize_pallas(
-                ee, cc, fast=True).sum().astype(jnp.int32)
-
-        int(np.asarray(probe(ed, cd)))
-        t = _slope_time(probe, (ed, cd))
-        out[label] = {"ms": round(t * 1e3, 2),
-                      "pcm16_gbps": round(pcm / t / 1e9, 3)}
-        print(f"[roofline] iir tier {label}: {out[label]}", file=sys.stderr)
-    return out
-
-
 def iir_generic_time(B=8192, N=2048):
     import jax
     import jax.numpy as jnp
@@ -344,13 +298,18 @@ def analytic_model(vpu):
         "iir_fast_hbm_bound_pcm16_gbps": round(819 / 8 * 2, 0),
         "note": analytic_model.__doc__.strip().splitlines()[0],
         "calibration": (
-            "measured r5: the unroll=4 kernel sustains ~3x this issue bound "
-            "(10.1 GB/s-eq), i.e. Mosaic retires multiple modeled "
-            "register-ops per cycle (fused mul+add, cheaper tree reduces); "
-            "treat the issue bound as a floor, the HBM bound as the ceiling, "
-            "and the unroll sweep as the operative speed-of-light evidence: "
-            "unroll=1 (serial chain) -> unroll=4 gained 1.52x, unroll=8 "
-            "regressed, so remaining latency slack at U=4 is <~25%"
+            "measured r5: the unroll=4 kernel sustains ~2.5x this issue "
+            "bound, i.e. Mosaic retires multiple modeled register-ops per "
+            "cycle; the operative bound is the SERIAL DEPENDENCY CHAIN: "
+            "~12 dependent ops/sample (limb split -> correction mul-add -> "
+            "10-op rounding epilogue) x the measured ~2.6 ns dependent-op "
+            "latency = ~31 ns/sample, vs 29 ns/sample achieved — >=95% of "
+            "the recurrence speed-of-light. Direct proof: all-order-2, "
+            "-12 and -30 batches time IDENTICALLY (3.8-4.0 ms at "
+            "[8192,2048]), so tap work is fully latency-hidden; a "
+            "tap-tier dispatch was built, measured 0% and removed "
+            "(kernels/iir.py docstring). unroll=1->4 gained 1.3-1.5x; "
+            "unroll=8 regresses."
         ),
     }
 
@@ -379,7 +338,6 @@ def main():
 
     if not args.quick:
         rec["iir_sweep"] = iir_sweep()
-        rec["iir_tier"] = iir_tier_time()
         rec["iir_generic"] = iir_generic_time()
         print(f"[roofline] generic i64 iir: {rec['iir_generic']}",
               file=sys.stderr)
