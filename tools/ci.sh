@@ -30,7 +30,11 @@ python tools/check_regression.py || {
 
 if [ "${1:-}" = "--scaling" ]; then
   echo "== [3/3] scaling efficiency (>=0.80) =="
-  python tools/measure_scaling.py --seconds 24 --ranks 2,4
+  # NB: the corpus must be minutes long — each rank pays ~3-4 s of one-time
+  # jit trace/cache-load inside its wall, so tiny shards read as false
+  # inefficiency (measured r5: a 48 s corpus scored 0.29 at N=8 from pure
+  # per-rank warmup; the 1200 s SCALING_r05 artifact scores >=1.0)
+  python tools/measure_scaling.py --seconds 600 --ranks 2,4
 else
   echo "== [3/3] scaling efficiency — skipped (pass --scaling to run) =="
 fi
