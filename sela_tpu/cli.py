@@ -198,7 +198,7 @@ def cmd_tag(args) -> int:
     if args.set or args.clear:
         tags = {} if args.clear else dict(container.read_tags(buf))
         tags.update(_parse_tag_args(args.set or []))
-        out = container.replace_tags(buf, tags)
+        out = container.replace_tags(buf, tags, fmt=args.format)
         with open(args.output or args.input, "wb") as f:
             f.write(out)
         print(f"wrote {len(tags)} tag(s) to {args.output or args.input}")
@@ -421,6 +421,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="set a tag (repeatable)")
     tag.add_argument("--clear", action="store_true",
                      help="drop existing tags before applying --set")
+    tag.add_argument("--format", choices=("setg", "apev2"), default="setg",
+                     help="wire format for the written trailer: the compact "
+                          "SeTg block or a real APEv2 header+items+footer "
+                          "(reads auto-detect either)")
     tag.add_argument("--output", default=None,
                      help="write result here instead of in place")
     ply = add("play", cmd_play, help="decode to audio device")

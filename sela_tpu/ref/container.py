@@ -177,14 +177,128 @@ def parse_tags(buf: bytes, pos: int) -> tuple[dict, int]:
     return tags, end
 
 
+# --- APEv2 wire format (reference parity: the C lineage's core/apev2.c
+# read/wrote real APEv2 blocks; upstream:core/apev2.c, path-level cite —
+# mount empty, SURVEY.md §2 "APEv2 tags" row). Layout per the public APEv2
+# spec: optional 32-byte header, items, mandatory 32-byte footer; header &
+# footer are "APETAGEX", version u32 LE = 2000, tagSize u32 LE (items +
+# footer, header NOT counted), itemCount u32 LE, flags u32 LE, 8 reserved
+# zero bytes. Item: valueSize u32 LE, itemFlags u32 LE (bits 1-2: 0 = UTF-8
+# text, 1 = binary), ASCII key (0x20..0x7E), 0x00, value bytes. -----------
+
+APE_PREAMBLE = b"APETAGEX"
+APE_VERSION = 2000
+APE_FLAG_HAS_HEADER = 1 << 31
+APE_FLAG_IS_HEADER = 1 << 29
+
+
+def serialize_tags_apev2(tags: dict) -> bytes:
+    """Serialize metadata as a real APEv2 block (header + items + footer)."""
+    items = b""
+    for k, v in tags.items():
+        try:
+            kb = k.encode("ascii", errors="strict") if isinstance(k, str) else k
+        except UnicodeEncodeError:
+            raise ContainerError(
+                f"APEv2 key must be printable ASCII: {k!r}") from None
+        if not kb or any(c < 0x20 or c > 0x7E for c in kb):
+            raise ContainerError(f"APEv2 key must be printable ASCII: {k!r}")
+        if isinstance(v, str):
+            vb, iflags = v.encode("utf-8"), 0
+        else:
+            vb, iflags = bytes(v), 1 << 1
+        items += struct.pack("<II", len(vb), iflags) + kb + b"\x00" + vb
+    if len(items) > TAG_MAX_BYTES:
+        raise ContainerError(f"tags block too large: {len(items)}")
+    size = len(items) + 32  # items + footer; header not counted (spec)
+
+    def block(is_header: bool) -> bytes:
+        flags = APE_FLAG_HAS_HEADER | (APE_FLAG_IS_HEADER if is_header else 0)
+        return (APE_PREAMBLE
+                + struct.pack("<IIII", APE_VERSION, size, len(tags), flags)
+                + b"\x00" * 8)
+
+    return block(True) + items + block(False)
+
+
+def _parse_ape_block(buf: bytes, off: int):
+    if off + 32 > len(buf) or buf[off : off + 8] != APE_PREAMBLE:
+        raise ContainerError("bad APEv2 preamble")
+    version, size, count, flags = struct.unpack_from("<IIII", buf, off + 8)
+    if version != APE_VERSION:
+        raise ContainerError(f"unsupported APEv2 version {version}")
+    if buf[off + 24 : off + 32] != b"\x00" * 8:
+        raise ContainerError("nonzero APEv2 reserved bytes")
+    return size, count, flags
+
+
+def parse_tags_apev2(buf: bytes, pos: int) -> tuple[dict, int]:
+    """Parse an APEv2 block spanning exactly [pos, len(buf)).
+
+    Accepts both header+footer blocks (what serialize_tags_apev2 emits) and
+    the footer-only form other writers produce.
+    """
+    size, count, flags = _parse_ape_block(buf, len(buf) - 32)
+    if flags & APE_FLAG_IS_HEADER:
+        raise ContainerError("APEv2 footer flagged as header")
+    if size < 32 or size - 32 > TAG_MAX_BYTES:
+        raise ContainerError("APEv2 size out of range")
+    has_header = bool(flags & APE_FLAG_HAS_HEADER)
+    total = size + (32 if has_header else 0)
+    if len(buf) - pos != total:
+        raise ContainerError("APEv2 block does not span the trailer")
+    if has_header:
+        hsize, hcount, hflags = _parse_ape_block(buf, pos)
+        if not hflags & APE_FLAG_IS_HEADER or hsize != size or hcount != count:
+            raise ContainerError("APEv2 header/footer mismatch")
+    p = len(buf) - size
+    end_items = len(buf) - 32
+    tags: dict = {}
+    for _ in range(count):
+        if p + 8 > end_items:
+            raise ContainerError("truncated APEv2 item")
+        vlen, iflags = struct.unpack_from("<II", buf, p)
+        p += 8
+        z = buf.find(b"\x00", p, end_items)
+        if z < 0 or z == p:
+            raise ContainerError("malformed APEv2 key")
+        kb = buf[p:z]
+        if any(c < 0x20 or c > 0x7E for c in kb):
+            raise ContainerError("non-ASCII APEv2 key")
+        p = z + 1
+        if p + vlen > end_items:
+            raise ContainerError("truncated APEv2 value")
+        vb = bytes(buf[p : p + vlen])
+        p += vlen
+        if (iflags >> 1) & 0x3 == 0:
+            try:
+                tags[kb.decode("ascii")] = vb.decode("utf-8")
+            except UnicodeDecodeError:
+                tags[kb.decode("ascii")] = vb
+        else:
+            tags[kb.decode("ascii")] = vb
+    if p != end_items:
+        raise ContainerError("APEv2 items do not fill the tag block")
+    return tags, len(buf)
+
+
 def parse_trailer(buf: bytes, pos: int) -> dict:
-    """After the last frame: nothing, or one tags block. Junk raises."""
+    """After the last frame: nothing, or one tags block (SeTg or APEv2).
+
+    Junk raises. Format is auto-detected: SeTg blocks lead with TAG_MAGIC at
+    pos; APEv2 blocks end with an APETAGEX footer at the end of the buffer.
+    """
     if pos == len(buf):
         return {}
-    tags, end = parse_tags(buf, pos)
-    if end != len(buf):
-        raise ContainerError("trailing bytes after tags trailer")
-    return tags
+    if buf[pos : pos + 4] == TAG_MAGIC:
+        tags, end = parse_tags(buf, pos)
+        if end != len(buf):
+            raise ContainerError("trailing bytes after tags trailer")
+        return tags
+    if len(buf) >= pos + 32 and buf[len(buf) - 32 : len(buf) - 24] == APE_PREAMBLE:
+        tags, _ = parse_tags_apev2(buf, pos)
+        return tags
+    raise ContainerError("bad tags trailer magic")
 
 
 def frames_end(buf: bytes) -> int:
@@ -201,15 +315,23 @@ def read_tags(buf: bytes) -> dict:
     return parse_trailer(buf, frames_end(buf))
 
 
-def replace_tags(buf: bytes, tags: dict | None) -> bytes:
+def replace_tags(buf: bytes, tags: dict | None, fmt: str = "setg") -> bytes:
     """New buffer with the tags trailer replaced (removed if tags is falsy).
 
     The audio payload is untouched — tag editing never re-encodes
-    (capability parity with the C lineage's core/apev2.c, SURVEY.md §2)."""
+    (capability parity with the C lineage's core/apev2.c, SURVEY.md §2).
+    fmt selects the wire format for the NEW trailer: "setg" (this profile's
+    compact block) or "apev2" (real APEv2 header+items+footer, readable by
+    standard APEv2 tooling). Reads auto-detect either format."""
+    if fmt not in ("setg", "apev2"):
+        raise ContainerError(f"unknown tag format {fmt!r}")
     end = frames_end(buf)
     parse_trailer(buf, end)  # validate the existing trailer, if any
     base = bytes(buf[:end])
-    return base + (serialize_tags(tags) if tags else b"")
+    if not tags:
+        return base
+    ser = serialize_tags if fmt == "setg" else serialize_tags_apev2
+    return base + ser(tags)
 
 
 def parse_frame(buf: bytes, pos: int, nch: int) -> tuple[list[SubFrame], int, int]:

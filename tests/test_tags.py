@@ -82,6 +82,77 @@ def test_malformed_trailers_rejected(rng, signal_factory):
             decode_sela(bad)
 
 
+def test_apev2_roundtrip_and_decode(rng, signal_factory):
+    """Real APEv2 wire format (FORMAT.md §Tags, C-lineage core/apev2.c
+    parity): write, auto-detected read, decode passthrough."""
+    w = make_wav(rng, signal_factory)
+    buf = encode_wav(w, chunk_frames=8)
+    ape_tags = {"Title": "Sine Étude", "Artist": "sela-tpu",
+                "Cover Art (Front)": b"\x89PNG\x00\xff"}
+    buf2 = container.replace_tags(buf, ape_tags, fmt="apev2")
+    assert container.read_tags(buf2) == ape_tags
+    for dec in (decode_sela, ref_codec.decode_sela):
+        out = dec(buf2)
+        for a, b in zip(out.channels, w.channels):
+            np.testing.assert_array_equal(a, b)
+    # structure is genuine APEv2: header+footer preambles, v2000, sizes
+    import struct
+
+    end = container.frames_end(buf2)
+    assert buf2[end : end + 8] == b"APETAGEX"
+    assert buf2[-32:-24] == b"APETAGEX"
+    version, size, count, flags = struct.unpack_from("<IIII", buf2, len(buf2) - 24)
+    assert version == 2000 and count == 3
+    assert len(buf2) - end == size + 32  # header + (items + footer)
+    # format conversion both ways preserves content
+    buf3 = container.replace_tags(buf2, container.read_tags(buf2), fmt="setg")
+    assert container.read_tags(buf3) == ape_tags
+
+
+def test_apev2_footer_only_interop(rng, signal_factory):
+    """Footer-only APEv2 blocks (other writers omit the header) parse too."""
+    w = make_wav(rng, signal_factory)
+    buf = encode_wav(w, chunk_frames=8)
+    full = container.serialize_tags_apev2({"k": "v"})
+    header, rest = full[:32], full[32:]
+    # strip the header and clear the footer's HAS_HEADER flag
+    import struct
+
+    footer = bytearray(rest[-32:])
+    version, size, count, flags = struct.unpack_from("<IIII", bytes(footer), 8)
+    struct.pack_into("<IIII", footer, 8, version, size, count,
+                     flags & ~container.APE_FLAG_HAS_HEADER)
+    buf2 = buf + rest[:-32] + bytes(footer)
+    assert container.read_tags(buf2) == {"k": "v"}
+    out = ref_codec.decode_sela(buf2)
+    for a, b in zip(out.channels, w.channels):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_apev2_malformed_rejected(rng, signal_factory):
+    w = make_wav(rng, signal_factory)
+    buf = encode_wav(w, chunk_frames=8)
+    good = buf + container.serialize_tags_apev2({"k": "v"})
+    cases = [
+        good[:-1],                       # truncated footer
+        good + b"x",                     # junk after footer
+        good[: len(buf)] + good[len(buf) + 1 :],  # header misaligned
+    ]
+    # corrupt version
+    bad_ver = bytearray(good)
+    bad_ver[-24] ^= 1
+    cases.append(bytes(bad_ver))
+    for bad in cases:
+        with pytest.raises(container.ContainerError):
+            ref_codec.decode_sela(bad)
+        with pytest.raises(container.ContainerError):
+            decode_sela(bad)
+    with pytest.raises(container.ContainerError):
+        container.serialize_tags_apev2({"bad\x00key": "v"})
+    with pytest.raises(container.ContainerError):
+        container.serialize_tags_apev2({"é": "v"})
+
+
 def test_cli_tag_subcommand(tmp_path, rng, signal_factory):
     from sela_tpu import cli
     from sela_tpu.ref.wav import write_wav
