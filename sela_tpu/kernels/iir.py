@@ -51,7 +51,7 @@ def _reduce_rows_i64(v: i64.I64) -> i64.I64:
     return v
 
 
-def _iir_kernel(et_ref, crev_ref, out_ref, hist):
+def _make_iir_kernel_generic(unroll: int):
     """One [N, LANES] tile: sequential n, 128 rows in parallel on lanes.
 
     et_ref:   [N, LANES] int32 residues, time-major
@@ -59,22 +59,48 @@ def _iir_kernel(et_ref, crev_ref, out_ref, hist):
     out_ref:  [N, LANES] int32 reconstructed samples
     hist:     [P + N, LANES] int32 scratch; rows 0..P-1 are the zero history,
               row P+n holds x[n]
+
+    unroll: same software pipelining as the fast kernel (r5): the whole
+    history is pre-zeroed so U windows' 64-bit tap sums start immediately,
+    and each resolved x[n+j] patches later partial sums with the exact
+    i64 product c_d (x) x[n+j]. Partial + correction equals the full sum in
+    exact 64-bit arithmetic (|sum| <= 32 * 2^23 * 2^31 = 2^59, no wrap), so
+    the result is bit-identical while U dependent chains overlap. Requires
+    n_samples % U == 0 (wrapper guarantees). Measured effect is small
+    (+3% at U=4, 6.80 -> 6.58 ms at [8192, 2048]): unlike the limb kernel,
+    this one is issue-bound by its ~38-op i64 epilogue and emulated products,
+    not latency-bound, so overlapping chains buys little — 32-bit decode
+    speed-of-light work should target the epilogue op count instead.
     """
-    n_samples = et_ref.shape[0]
-    hist[0:P, :] = jnp.zeros((P, LANES), jnp.int32)
-    crev = crev_ref[:, :]
+    U = unroll
 
-    def step(n, _):
-        w = hist[pl.ds(n, P), :]                     # x[n-P .. n-1]
-        prod = i64.mul_i32(crev, w)                  # [P, LANES] exact 64-bit
-        acc = _reduce_rows_i64(prod)                 # [1, LANES]
-        pred = i64.to_i32(i64.rshift_round(acc, REF_Q))
-        x_n = et_ref[pl.ds(n, 1), :] + pred
-        hist[pl.ds(n + P, 1), :] = x_n
-        return 0
+    def kernel(et_ref, crev_ref, out_ref, hist):
+        n_samples = et_ref.shape[0]
+        L = et_ref.shape[1]
+        hist[:, :] = jnp.zeros((P + n_samples, L), jnp.int32)
+        crev = crev_ref[:, :]
+        c_t = [crev[P - d : P - d + 1, :] for d in range(1, U)]
 
-    jax.lax.fori_loop(0, n_samples, step, 0)
-    out_ref[:, :] = hist[pl.ds(P, n_samples), :]
+        def step(i, _):
+            n = i * U
+            s = []
+            for j in range(U):
+                w = hist[pl.ds(n + j, P), :]         # x[n+j-P .. n+j-1]
+                prod = i64.mul_i32(crev, w)          # [P, L] exact 64-bit
+                s.append(_reduce_rows_i64(prod))     # I64 [1, L]
+            for j in range(U):
+                pred = i64.to_i32(i64.rshift_round(s[j], REF_Q))
+                x_n = et_ref[pl.ds(n + j, 1), :] + pred
+                hist[pl.ds(n + j + P, 1), :] = x_n
+                out_ref[pl.ds(n + j, 1), :] = x_n
+                for d in range(1, U - j):
+                    s[j + d] = i64.add(
+                        s[j + d], i64.mul_i32(c_t[d - 1], x_n))
+            return 0
+
+        jax.lax.fori_loop(0, n_samples // U, step, 0)
+
+    return kernel
 
 
 def _make_iir_kernel_fast(unroll: int):
@@ -212,13 +238,17 @@ def _iir_tiles_fast(et: jax.Array, crev: jax.Array, interpret: bool,
     )(et, crev)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _iir_tiles(et: jax.Array, crev: jax.Array, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def _iir_tiles(et: jax.Array, crev: jax.Array, interpret: bool,
+               unroll: int = 0):
     """et: [N, Bp] int32, crev: [P, Bp]; Bp a multiple of LANES."""
     N, Bp = et.shape
+    unroll = unroll or UNROLL_FAST
+    if N % unroll:
+        unroll = 1
     grid = (Bp // LANES,)
     return pl.pallas_call(
-        _iir_kernel,
+        _make_iir_kernel_generic(unroll),
         out_shape=jax.ShapeDtypeStruct((N, Bp), jnp.int32),
         grid=grid,
         in_specs=[

@@ -107,6 +107,12 @@ def test_apev2_roundtrip_and_decode(rng, signal_factory):
     # format conversion both ways preserves content
     buf3 = container.replace_tags(buf2, container.read_tags(buf2), fmt="setg")
     assert container.read_tags(buf3) == ape_tags
+    # streaming decode passes an APEv2 trailer through untouched
+    from sela_tpu.codec.stream import decode_stream
+
+    pcm = np.concatenate(list(decode_stream(buf2, chunk_frames=2)), axis=0)
+    for c in range(2):
+        np.testing.assert_array_equal(pcm[:, c], w.channels[c])
 
 
 def test_apev2_footer_only_interop(rng, signal_factory):
