@@ -24,7 +24,6 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 from ..format import MAX_ORDER, REF_Q
-from ..ops import i64
 from ..utils.platform import backend_is_tpu as _backend_is_tpu
 
 LANES = 128
@@ -38,64 +37,95 @@ UNROLL_FAST = int(os.environ.get("SELA_IIR_UNROLL", "4"))
 P = MAX_ORDER
 
 
-def _reduce_rows_i64(v: i64.I64) -> i64.I64:
-    """Exact sum over axis 0 (static power-of-two size) of an I64 array."""
-    n = v.hi.shape[0]
-    while n > 1:
-        h = n // 2
-        v = i64.add(
-            i64.I64(v.hi[:h, :], v.lo[:h, :]),
-            i64.I64(v.hi[h:, :], v.lo[h:, :]),
-        )
-        n = h
-    return v
-
-
 def _make_iir_kernel_generic(unroll: int):
-    """One [N, LANES] tile: sequential n, 128 rows in parallel on lanes.
+    """Full-int32-range kernel via a 3x2 limb decomposition (r5c).
 
-    et_ref:   [N, LANES] int32 residues, time-major
-    crev_ref: [P, LANES] int32 reversed Q20 coeffs (crev[i] = c[P-1-i])
-    out_ref:  [N, LANES] int32 reconstructed samples
-    hist:     [P + N, LANES] int32 scratch; rows 0..P-1 are the zero history,
-              row P+n holds x[n]
+    Replaces the emulated-64-bit MAC (i64.mul_i32 costs ~12 int32 ops per
+    element, carry-chain reductions ~10 more — the old kernel was
+    issue-bound on them). Split x = x2*2^22 + x1*2^11 + x0 (x0, x1 in
+    [0, 2^11), x2 = x >> 22 in [-2^9, 2^9)) and c = ch*2^12 + cl (cl in
+    [0, 2^12), |ch| < 2^11, valid since |c| <= 2^23 by the SAT clamp). The
+    six per-tap products and their 32-tap sums are all int32-exact:
 
-    unroll: same software pipelining as the fast kernel (r5): the whole
-    history is pre-zeroed so U windows' 64-bit tap sums start immediately,
-    and each resolved x[n+j] patches later partial sums with the exact
-    i64 product c_d (x) x[n+j]. Partial + correction equals the full sum in
-    exact 64-bit arithmetic (|sum| <= 32 * 2^23 * 2^31 = 2^59, no wrap), so
-    the result is bit-identical while U dependent chains overlap. Requires
-    n_samples % U == 0 (wrapper guarantees). Measured effect is small
-    (+3% at U=4, 6.80 -> 6.58 ms at [8192, 2048]): unlike the limb kernel,
-    this one is issue-bound by its ~38-op i64 epilogue and emulated products,
-    not latency-bound, so overlapping chains buys little — 32-bit decode
-    speed-of-light work should target the epilogue op count instead.
+      |S_h2| <= 32*2^11*2^9  = 2^25   |S_l2| <= 32*2^12*2^9  = 2^26
+      |S_h1| <= 32*2^11*2^11 = 2^27   |S_l1| <= 32*2^12*2^11 = 2^28
+      |S_h0| <= 2^27                  |S_l0| <= 2^28
+
+    acc = S_h2*2^34 + (S_h1 + 2*S_l2)*2^23... grouped by true scales:
+    acc = S_h2*2^34 + S_h1*2^23 + S_l2*2^22 + S_h0*2^12 + S_l1*2^11 + S_l0,
+    and the Q20 rounding shift stages exactly — splitting off only terms
+    whose scale is a multiple of the remaining divisor (floor distributes
+    over exact multiples) and using floor(floor(y/a)/b) = floor(y/(ab)):
+
+      u0 = S_l0 + 2^19                        (>= 0, < 2^29)
+      v1 = S_l1 + (u0 >> 11)                  (|v1| < 2^29)
+      pred = S_h2 << 14  +  S_h1 << 3  +  S_l2 << 2
+             + ((2*S_h0 + v1) >> 9)           (|2*S_h0 + v1| < 2^30)
+
+    In unbounded integers this equals (acc + 2^19) >> 20 exactly; computed
+    in int32 the final additions wrap mod 2^32, which is precisely
+    i64.to_i32 of the exact value — bit-identical to the old kernel and the
+    scan path for EVERY int32 input (the window values are the same wrapped
+    int32s every path multiplies). ~12 epilogue ops + 6 plain multiply/
+    reduce pairs per step vs the old ~38 + carry chains.
+
+    unroll: same pre-zeroed-history software pipelining as the fast kernel;
+    corrections patch the six partial sums with the resolved sample's limb
+    products. Requires n_samples % U == 0 (wrapper guarantees).
     """
     U = unroll
+    sra = jax.lax.shift_right_arithmetic
 
-    def kernel(et_ref, crev_ref, out_ref, hist):
+    def kernel(et_ref, crev_ref, out_ref, h0, h1, h2):
         n_samples = et_ref.shape[0]
         L = et_ref.shape[1]
-        hist[:, :] = jnp.zeros((P + n_samples, L), jnp.int32)
+        zeros_all = jnp.zeros((P + n_samples, L), jnp.int32)
+        h0[:, :] = zeros_all
+        h1[:, :] = zeros_all
+        h2[:, :] = zeros_all
         crev = crev_ref[:, :]
-        c_t = [crev[P - d : P - d + 1, :] for d in range(1, U)]
+        ch = sra(crev, 12)
+        cl = crev & 0xFFF
+        ch_t = [ch[P - d : P - d + 1, :] for d in range(1, U)]
+        cl_t = [cl[P - d : P - d + 1, :] for d in range(1, U)]
 
         def step(i, _):
             n = i * U
             s = []
             for j in range(U):
-                w = hist[pl.ds(n + j, P), :]         # x[n+j-P .. n+j-1]
-                prod = i64.mul_i32(crev, w)          # [P, L] exact 64-bit
-                s.append(_reduce_rows_i64(prod))     # I64 [1, L]
+                w0 = h0[pl.ds(n + j, P), :]
+                w1 = h1[pl.ds(n + j, P), :]
+                w2 = h2[pl.ds(n + j, P), :]
+                s.append([
+                    jnp.sum(ch * w2, axis=0, keepdims=True),  # S_h2
+                    jnp.sum(ch * w1, axis=0, keepdims=True),  # S_h1
+                    jnp.sum(ch * w0, axis=0, keepdims=True),  # S_h0
+                    jnp.sum(cl * w2, axis=0, keepdims=True),  # S_l2
+                    jnp.sum(cl * w1, axis=0, keepdims=True),  # S_l1
+                    jnp.sum(cl * w0, axis=0, keepdims=True),  # S_l0
+                ])
             for j in range(U):
-                pred = i64.to_i32(i64.rshift_round(s[j], REF_Q))
+                s_h2, s_h1, s_h0, s_l2, s_l1, s_l0 = s[j]
+                u0 = s_l0 + jnp.int32(1 << 19)
+                v1 = s_l1 + (u0 >> 11)           # u0 >= 0: logical == floor
+                pred = ((s_h2 << 14) + (s_h1 << 3) + (s_l2 << 2)
+                        + sra(2 * s_h0 + v1, 9))
                 x_n = et_ref[pl.ds(n + j, 1), :] + pred
-                hist[pl.ds(n + j + P, 1), :] = x_n
+                x0 = x_n & 0x7FF
+                x1 = sra(x_n, 11) & 0x7FF
+                x2 = sra(x_n, 22)
+                h0[pl.ds(n + j + P, 1), :] = x0
+                h1[pl.ds(n + j + P, 1), :] = x1
+                h2[pl.ds(n + j + P, 1), :] = x2
                 out_ref[pl.ds(n + j, 1), :] = x_n
                 for d in range(1, U - j):
-                    s[j + d] = i64.add(
-                        s[j + d], i64.mul_i32(c_t[d - 1], x_n))
+                    t = s[j + d]
+                    t[0] = t[0] + ch_t[d - 1] * x2
+                    t[1] = t[1] + ch_t[d - 1] * x1
+                    t[2] = t[2] + ch_t[d - 1] * x0
+                    t[3] = t[3] + cl_t[d - 1] * x2
+                    t[4] = t[4] + cl_t[d - 1] * x1
+                    t[5] = t[5] + cl_t[d - 1] * x0
             return 0
 
         jax.lax.fori_loop(0, n_samples // U, step, 0)
@@ -256,7 +286,11 @@ def _iir_tiles(et: jax.Array, crev: jax.Array, interpret: bool,
             pl.BlockSpec((P, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((N, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((P + N, LANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((P + N, LANES), jnp.int32),
+            pltpu.VMEM((P + N, LANES), jnp.int32),
+            pltpu.VMEM((P + N, LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(et, crev)
 
