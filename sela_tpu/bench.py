@@ -329,7 +329,8 @@ def bench_device_pipeline(seconds: float, chunk_frames: int, iters: int,
 
     on_tpu = jax.default_backend() == "tpu"
     allow_ms = bits <= 24
-    fused = on_tpu and allow_ms
+    fused = on_tpu and allow_ms  # 32-bit measured faster all-jnp: see
+    #                              codec.pipeline.default_fused docstring
     if on_tpu:
         iir = "pallas" if bits <= 24 else "pallas_generic"
     else:

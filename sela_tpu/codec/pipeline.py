@@ -51,7 +51,16 @@ def make_candidates(x: jax.Array):
 
 def default_fused(allow_ms: bool = True) -> bool:
     """Use the fused Pallas FIR+Rice kernel? TPU backend and <=24-bit only
-    (the limb FIR needs |x| < 2^26; allow_ms doubles as that marker)."""
+    (the limb FIR needs |x| < 2^26; allow_ms doubles as that marker).
+
+    Measured r5c before keeping this gate: enabling the Pallas analyze
+    kernel for 32-bit streams (where the render must stay jnp) is
+    bit-identical but 2.2x SLOWER end to end (11.3 vs 5.2 ms per
+    [2048, 2, 2048] chunk, same-process A/B) — a pallas_call is a fusion
+    boundary, so XLA can no longer share the [B, S] sample loads between
+    analysis and the jnp FIR the way the all-jnp graph does. Fused only
+    pays when the whole hot path (analyze + FIR + Rice counts) stays in
+    kernels, which requires the limb domain."""
     from ..utils.platform import backend_is_tpu
 
     return bool(allow_ms) and backend_is_tpu()
