@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-from ..format import MAX_ORDER, REF_Q
+from ..format import MAX_ORDER
 from ..utils.platform import backend_is_tpu as _backend_is_tpu
 
 LANES = 128
@@ -51,7 +51,6 @@ def _make_iir_kernel_generic(unroll: int):
       |S_h1| <= 32*2^11*2^11 = 2^27   |S_l1| <= 32*2^12*2^11 = 2^28
       |S_h0| <= 2^27                  |S_l0| <= 2^28
 
-    acc = S_h2*2^34 + (S_h1 + 2*S_l2)*2^23... grouped by true scales:
     acc = S_h2*2^34 + S_h1*2^23 + S_l2*2^22 + S_h0*2^12 + S_l1*2^11 + S_l0,
     and the Q20 rounding shift stages exactly — splitting off only terms
     whose scale is a multiple of the remaining divisor (floor distributes
